@@ -1,0 +1,90 @@
+#!/usr/bin/env python
+"""Headline benchmark: Dragon_80K @ 1080p path-tracing throughput on one chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where
+vs_baseline is measured Mrays/s divided by the 300 Mrays/s/chip north-star
+(BASELINE.md). Rays are counted exactly (traced path segments, not
+width*height*spp estimates).
+
+Dragon_80K.obj is absent from the reference mount; the scene uses the
+midpoint-subdivided dragon.obj substitute (identical surface, 80k triangles —
+see ray_tracer_2_tpu/assets/procedural.py).
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import time
+
+
+def dragon_scene():
+    """Dragon_80K, single material, camera framing the model
+    (BASELINE.json config 4)."""
+    import numpy as np
+    from ray_tracer_2_tpu.math.transform import Transform, quat_rotate_y
+    from ray_tracer_2_tpu.scene.camera import CameraDescriptor
+    from ray_tracer_2_tpu.scene.definition import MeshFromFile, SceneDefinition
+    from ray_tracer_2_tpu.scene.material import MaterialDefinition
+    from ray_tracer_2_tpu.scene.render_scene import instantiate_scene
+
+    s = SceneDefinition()
+    s.set_camera(CameraDescriptor(
+        transform=Transform.cam([0.0, 1.0, 4.0], [0.0, 0.7, 0.0]),
+        fov=40.0, focus_dist=4.0))
+    s.add_mesh(Transform(pos=[0.0, 0.6, 0.0], rot=quat_rotate_y(-1.5708),
+                         scale=[3.0, 3.0, 3.0]),
+               MeshFromFile("Dragon_80K.obj", use_mtl=False),
+               MaterialDefinition.new()
+               .with_color([0.96078, 0.11372, 0.4039, 1.0])
+               .smooth(0.8).specular_([1.0] * 4, 0.015))
+    s.add_sphere([0.0, -1000.0, 0.0], 1000.0,
+                 MaterialDefinition.new().with_color([0.5, 0.5, 0.5, 1.0]))
+    return instantiate_scene(s)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--width", type=int, default=1920)
+    ap.add_argument("--height", type=int, default=1080)
+    ap.add_argument("--bounces", type=int, default=5)
+    ap.add_argument("--rpp", type=int, default=1)
+    ap.add_argument("--warmup", type=int, default=2)
+    ap.add_argument("--frames", type=int, default=8)
+    ap.add_argument("--tile-rows", type=int, default=None)
+    args = ap.parse_args()
+
+    from ray_tracer_2_tpu.config import RenderParams
+    from ray_tracer_2_tpu.engine.renderer import Renderer
+
+    host = dragon_scene()
+    renderer = Renderer(**({"tile_rows": args.tile_rows}
+                           if args.tile_rows else {}))
+    p = RenderParams(width=args.width, height=args.height,
+                     bounces=args.bounces, rays_per_pixel=args.rpp,
+                     skybox=True, frames=0)
+
+    for f in range(args.warmup):
+        fb = renderer.render(host.render_scene,
+                             dataclasses.replace(p, frames=f))
+    fb.block_until_ready()
+
+    t0 = time.perf_counter()
+    total_rays = 0.0
+    for f in range(args.warmup, args.warmup + args.frames):
+        renderer.render(host.render_scene, dataclasses.replace(p, frames=f))
+        total_rays += float(renderer.last_segments)
+    renderer.framebuffer.block_until_ready()
+    dt = time.perf_counter() - t0
+
+    mrays = total_rays / dt / 1e6
+    print(json.dumps({
+        "metric": "dragon80k_1080p_path_throughput",
+        "value": round(mrays, 3),
+        "unit": "Mrays/s/chip",
+        "vs_baseline": round(mrays / 300.0, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,75 @@
+"""Render configuration — the Params uniform and engine constants.
+
+The reference mutates one ``Params`` uniform per frame (app.rs:27-91) and
+bakes capacities as compile-time consts (engine.rs:202, ray_tracer.rs:15-19).
+Here the same knobs are one frozen dataclass: fields that change shapes or
+compiled control flow are static (re-jit on change), fields read by the kernel
+as data (frame counter, debug scale) travel as device scalars.
+"""
+from __future__ import annotations
+
+import dataclasses
+import enum
+
+# Internal framebuffer (engine.rs:202): 1920x1080 RGBA float32.
+RENDER_SIZE = (1920, 1080)
+
+# Capacities (ray_tracer.rs:15-19). On TPU these are padding targets for SoA
+# arrays, not hard buffer limits — scenes re-jit if they outgrow a bucket.
+MAX_TEXTURES = 64
+
+
+class DebugMode(enum.IntEnum):
+    """Debug visualisations (ray_tracer.wgsl:136-142)."""
+
+    OFF = 0
+    NORMALS = 1
+    DEPTH = 2
+    TEX_COORDS = 3
+    FOCUS_DST = 4
+    NODES = 5
+    TRIANGLES = 6
+    NODES_AND_TRIANGLES = 7
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderParams:
+    """Per-frame render parameters (app.rs:27-41 ``Params``).
+
+    ``frames`` follows the reference accumulation protocol
+    (ray_tracer.wgsl:154-161, app.rs:43-57): ``-1``/``0`` ⇒ overwrite the
+    framebuffer, ``>= 1`` ⇒ blend with weight ``1/(frames+1)``.
+    """
+
+    width: int = RENDER_SIZE[0]
+    height: int = RENDER_SIZE[1]
+    bounces: int = 5             # engine.rs:244-250 defaults
+    rays_per_pixel: int = 1
+    skybox: bool = True
+    frames: int = 0
+    accumulate: bool = True
+    debug_mode: DebugMode = DebugMode.OFF
+    debug_scale: int = 100
+
+    def update(self, is_moving: bool) -> tuple["RenderParams", bool]:
+        """Advance the frame counter (app.rs:43-57). Returns
+        ``(new_params, accumulation_was_reset)``."""
+        if is_moving or not self.accumulate:
+            return dataclasses.replace(self, frames=-1), True
+        return dataclasses.replace(self, frames=self.frames + 1), False
+
+    def reset_frame(self) -> "RenderParams":
+        return dataclasses.replace(self, frames=-1)
+
+    def for_render(self, is_moving: bool) -> "RenderParams":
+        """Motion degradation (app.rs:58-73): while the camera moves, drop to
+        half resolution, 1 bounce, 1 ray/pixel for interactivity."""
+        if not is_moving:
+            return self
+        return dataclasses.replace(
+            self,
+            bounces=1,
+            rays_per_pixel=1,
+            width=RENDER_SIZE[0] // 2,
+            height=RENDER_SIZE[1] // 2,
+        )

@@ -1,0 +1,160 @@
+"""Engine: owns every subsystem and drives the frame loop
+(ref: src/core/engine.rs + the per-frame orchestration of src/core/app.rs).
+
+The reference couples this to a winit window; here the engine is headless —
+the viewer (viewer/) is an optional frontend that feeds it input and streams
+the framebuffer out. ``update()`` is the analog of App::update + handle_redraw
+(app.rs:128-163, 285-340): poll async scene loads, advance the camera,
+advance the accumulation protocol, render.
+"""
+from __future__ import annotations
+
+import dataclasses
+import logging
+import time
+
+import numpy as np
+
+from ray_tracer_2_tpu.config import RENDER_SIZE, DebugMode, RenderParams
+from ray_tracer_2_tpu.engine.export import save_png
+from ray_tracer_2_tpu.engine.renderer import Renderer
+from ray_tracer_2_tpu.assets.manager import AssetManager
+from ray_tracer_2_tpu.scene.manager import SceneManager
+from ray_tracer_2_tpu.scene.scenes import SceneName
+
+log = logging.getLogger(__name__)
+
+
+class FrameTiming:
+    """Half-life running average of the frame time (engine.rs:180-201)."""
+
+    def __init__(self):
+        self.delta = 0.0
+        self.average_frame_time = 0.0
+        self._last = time.perf_counter()
+
+    def tick(self) -> float:
+        now = time.perf_counter()
+        self.delta = now - self._last
+        self._last = now
+        self.average_frame_time = (self.average_frame_time + self.delta) / 2.0
+        return self.delta
+
+    def reset(self) -> None:
+        self.average_frame_time = 0.0
+
+    @property
+    def fps(self) -> float:
+        return 1.0 / self.average_frame_time if self.average_frame_time > 0 else 0.0
+
+
+@dataclasses.dataclass
+class FrameStats:
+    """Live metrics (ref: egui Debug panel, egui.rs:383-402)."""
+
+    frame: int = 0
+    fps: float = 0.0
+    frame_time_ms: float = 0.0
+    mrays_per_s: float = 0.0
+    accumulated_frames: int = 0
+    bvh_nodes: int = 0
+    bvh_triangles: int = 0
+
+
+class Engine:
+    """engine.rs:216-264: construct subsystems, load the initial scene
+    (CornellBox, skybox on, 5 bounces, 1 rpp — engine.rs:241-251)."""
+
+    def __init__(self, width: int = RENDER_SIZE[0], height: int = RENDER_SIZE[1],
+                 assets: AssetManager | None = None,
+                 initial_scene: SceneName | None = SceneName.CORNELL_BOX,
+                 block_on_initial_scene: bool = False):
+        self.params = RenderParams(width=width, height=height, bounces=5,
+                                   rays_per_pixel=1, skybox=True, frames=0,
+                                   accumulate=True)
+        self.assets = assets or AssetManager()
+        self.scene_manager = SceneManager(self.assets)
+        self.renderer = Renderer()
+        self.timing = FrameTiming()
+        self.stats = FrameStats()
+        self._frame_counter = 0
+        if initial_scene is not None:
+            if block_on_initial_scene:
+                self.scene_manager.load_blocking(initial_scene)
+            else:
+                self.scene_manager.request_scene(initial_scene)
+
+    # ------------------------------------------------------------ frame
+
+    def update(self, dt: float | None = None, is_moving: bool = False):
+        """One frame: poll scene loads → camera → params protocol → render.
+        Returns the device framebuffer (None while no scene is loaded)."""
+        if dt is None:
+            dt = self.timing.tick()
+        else:
+            self.timing.delta = dt
+            self.timing.average_frame_time = (
+                self.timing.average_frame_time + dt) / 2.0
+
+        if self.scene_manager.poll_loaded() is not None:
+            # New scene arrived: reset accumulation + timing (app.rs:135-142).
+            self.params = self.params.reset_frame()
+            self.timing.reset()
+
+        scene = self.scene_manager.scene
+        if scene is None:
+            return None
+
+        moved = scene.camera.update_camera(dt) or is_moving
+        if moved:
+            scene.refresh_camera()
+        self.params, _ = self.params.update(moved)
+        render_params = self.params.for_render(moved)
+
+        t0 = time.perf_counter()
+        fb = self.renderer.render(scene.render_scene, render_params)
+        fb.block_until_ready()
+        render_s = time.perf_counter() - t0
+
+        self._frame_counter += 1
+        segs = self.renderer.last_segments
+        rays = (float(segs) if segs is not None else
+                render_params.width * render_params.height
+                * max(render_params.rays_per_pixel, 1))
+        self.stats = FrameStats(
+            frame=self._frame_counter,
+            fps=self.timing.fps,
+            frame_time_ms=render_s * 1e3,
+            mrays_per_s=rays / render_s / 1e6,
+            accumulated_frames=max(self.params.frames, 0),
+            bvh_nodes=scene.n_nodes,
+            bvh_triangles=scene.n_triangles,
+        )
+        return fb
+
+    # ------------------------------------------------------- UI actions
+    # Hotkey analogs (app.rs:172-272): Q next scene, E cycle debug mode,
+    # P save PNG, 1 toggle skybox, 2 toggle accumulate.
+
+    def next_scene(self) -> None:
+        cur = self.scene_manager.selected_scene or SceneName.CORNELL_BOX
+        self.scene_manager.request_scene(cur.next())
+
+    def cycle_debug_mode(self) -> None:
+        mode = DebugMode((int(self.params.debug_mode) + 1) % 8)
+        self.params = dataclasses.replace(self.params, debug_mode=mode,
+                                          frames=-1)
+
+    def toggle_skybox(self) -> None:
+        self.params = dataclasses.replace(
+            self.params, skybox=not self.params.skybox, frames=-1)
+
+    def toggle_accumulate(self) -> None:
+        self.params = dataclasses.replace(
+            self.params, accumulate=not self.params.accumulate)
+
+    def save_render(self, path) -> None:
+        """PNG export with gamma 1/2.2 (app.rs:341-465)."""
+        fb = self.renderer.read_framebuffer()
+        save_png(fb, path)
+        log.info("saved render to %s", path)

@@ -1,0 +1,79 @@
+"""Background scene loading (ref: SceneManager, scene.rs:109-146).
+
+The reference spawns a loader thread fed by an mpsc request channel; finished
+scenes come back over a result channel polled by the render loop
+(scene.rs:118-146, app.rs:135-142). Same design here: a daemon thread runs
+asset IO + BVH builds off the render thread, and ``poll_loaded`` hands the
+finished scene (already staged as device arrays) to the caller.
+"""
+from __future__ import annotations
+
+import logging
+import queue
+import threading
+
+from ray_tracer_2_tpu.accel.bvh import BVHQuality
+from ray_tracer_2_tpu.scene.render_scene import HostScene, instantiate_scene
+
+log = logging.getLogger(__name__)
+
+
+class SceneManager:
+    def __init__(self, assets=None):
+        if assets is None:
+            # deferred import: assets.manager itself imports scene schema
+            from ray_tracer_2_tpu.assets.manager import AssetManager
+            assets = AssetManager()
+        self.assets = assets
+        self.scene: HostScene | None = None
+        self.selected_scene = None
+        self.selected_entity: int = -1
+        self._requests: queue.Queue = queue.Queue()
+        self._loaded: queue.Queue = queue.Queue()
+        self._thread = threading.Thread(target=self._loader_loop, daemon=True)
+        self._thread.start()
+
+    def _loader_loop(self) -> None:
+        from ray_tracer_2_tpu.scene.scenes import build_scene_definition
+
+        while True:
+            name = self._requests.get()
+            if name is None:
+                return
+            try:
+                definition = build_scene_definition(name, self.assets)
+                scene = instantiate_scene(definition, self.assets,
+                                          quality=BVHQuality.HIGH)
+                self._loaded.put((name, scene))
+            except Exception:  # surface loader errors instead of dying silently
+                log.exception("scene load failed: %s", name)
+                self._loaded.put((name, None))
+
+    def request_scene(self, name) -> None:
+        """Queue an async scene load (scene.rs:140-146)."""
+        log.info("Loading Scene: %s", name)
+        self.selected_scene = name
+        self._requests.put(name)
+
+    def poll_loaded(self) -> HostScene | None:
+        """Non-blocking poll (app.rs:135-142 try_recv)."""
+        try:
+            name, scene = self._loaded.get_nowait()
+        except queue.Empty:
+            return None
+        if scene is not None:
+            self.scene = scene
+        return scene
+
+    def load_blocking(self, name) -> HostScene:
+        self.request_scene(name)
+        while True:
+            got = self._loaded.get()
+            if got[0] == name:
+                if got[1] is None:
+                    raise RuntimeError(f"scene load failed: {name}")
+                self.scene = got[1]
+                return got[1]
+
+    def shutdown(self) -> None:
+        self._requests.put(None)

@@ -1,0 +1,318 @@
+"""RenderScene — the device-resident scene pytree, and scene instantiation.
+
+The reference uploads AoS GPU buffers (spheres / packed triangles / mesh
+uniforms / BVH nodes / texture array, ray_tracer.rs:164-195) every frame
+(ray_tracer.rs:397-419). Here the scene is one immutable SoA pytree shipped to
+the device **once per scene** (re-shipped only on edit), shaped for the VPU's
+(8,128) lanes:
+
+  * triangles/nodes/materials/texels as flat structure-of-arrays;
+  * per-triangle and per-sphere ``int32`` material ids into one deduplicated
+    material table (the reference inlines a 112-byte material struct per
+    primitive);
+  * meshes sharing a world transform are merged into a single BVH ("instance
+    groups") — the reference walks every sub-mesh linearly per ray
+    (ray_tracer.wgsl:369-393); merging collapses e.g. Cornell Box's 8
+    sub-meshes or sponza's hundreds into one traversal, with materials
+    resolved per triangle.
+"""
+from __future__ import annotations
+
+import dataclasses
+import logging
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ray_tracer_2_tpu.accel.bvh import BVH, BVHQuality, build_bvh
+from ray_tracer_2_tpu.assets.textures import TextureAtlas
+from ray_tracer_2_tpu.scene.camera import Camera
+from ray_tracer_2_tpu.scene.definition import (
+    MeshData, MeshFromData, MeshFromFile, SceneDefinition, SphereDef,
+)
+from ray_tracer_2_tpu.scene.material import MaterialRecord, MaterialTable
+
+log = logging.getLogger(__name__)
+
+#: Leaf triangle chunk width — leaves are built with <= this many triangles so
+#: the traversal kernel intersects a whole leaf as one fixed-width vector op.
+LEAF_CHUNK = 4
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class RenderScene:
+    # Spheres (S may be 0)
+    sphere_pos: jax.Array        # (S, 3) f32
+    sphere_radius: jax.Array     # (S,) f32
+    sphere_mat: jax.Array        # (S,) i32
+
+    # Instance groups (I may be 0)
+    inst_world_to_model: jax.Array  # (I, 4, 4) f32
+    inst_model_to_world: jax.Array  # (I, 4, 4) f32
+    inst_node_offset: jax.Array     # (I,) i32
+    inst_tri_offset: jax.Array      # (I,) i32
+
+    # Triangle soup, leaf-ordered, concatenated over groups, padded by
+    # LEAF_CHUNK degenerate triangles at the end.
+    tri_v0: jax.Array            # (T, 3) f32
+    tri_v1: jax.Array
+    tri_v2: jax.Array
+    tri_n0: jax.Array
+    tri_n1: jax.Array
+    tri_n2: jax.Array
+    tri_uv0: jax.Array           # (T, 2) f32
+    tri_uv1: jax.Array
+    tri_uv2: jax.Array
+    tri_mat: jax.Array           # (T,) i32
+
+    # BVH nodes, concatenated over groups (node indices are group-local;
+    # traversal adds inst_node_offset, triangle ranges add inst_tri_offset —
+    # same contract as ray_tracer.wgsl:292-335).
+    node_min: jax.Array          # (N, 3) f32
+    node_max: jax.Array
+    node_left: jax.Array         # (N,) i32
+    node_right: jax.Array
+    node_first: jax.Array
+    node_count: jax.Array
+
+    materials: MaterialTable
+
+    # Texture atlas (flat texel buffer + slot tables)
+    tex_texels: jax.Array        # (X, 4) f32
+    tex_offset: jax.Array        # (64,) i32
+    tex_h: jax.Array             # (64,) i32
+    tex_w: jax.Array             # (64,) i32
+
+    # Camera uniform (camera.rs:15-22)
+    cam_to_world: jax.Array      # (4, 4) f32
+    view_params: jax.Array       # (3,) f32
+    defocus_strength: jax.Array  # () f32
+    diverge_strength: jax.Array  # () f32
+
+    @property
+    def n_spheres(self) -> int:
+        return self.sphere_pos.shape[0]
+
+    @property
+    def n_instances(self) -> int:
+        return self.inst_node_offset.shape[0]
+
+    @property
+    def n_triangles(self) -> int:
+        return self.tri_v0.shape[0] - LEAF_CHUNK  # minus padding
+
+    @property
+    def n_nodes(self) -> int:
+        return self.node_count.shape[0]
+
+    def with_camera(self, camera: Camera) -> "RenderScene":
+        u = camera.to_uniform()
+        return dataclasses.replace(
+            self,
+            cam_to_world=jnp.asarray(u.cam_to_world),
+            view_params=jnp.asarray(u.view_params),
+            defocus_strength=jnp.float32(u.defocus_strength),
+            diverge_strength=jnp.float32(u.diverge_strength),
+        )
+
+
+@dataclasses.dataclass
+class HostScene:
+    """Host-side scene state: mutable camera + staging data + device pytree
+    (ref ``Scene``, scene.rs:148-156)."""
+
+    camera: Camera
+    render_scene: RenderScene
+    bvh_stats: list
+    n_spheres: int
+    n_instances: int
+    n_triangles: int
+    n_nodes: int
+
+    def refresh_camera(self) -> None:
+        self.render_scene = self.render_scene.with_camera(self.camera)
+
+
+def instantiate_scene(definition: SceneDefinition,
+                      assets=None,
+                      quality: BVHQuality = BVHQuality.HIGH) -> HostScene:
+    """Resolve entities → load assets → build BVHs → device arrays
+    (ref: Scene::instantiate_scene, scene.rs:179-271)."""
+    if assets is None:
+        from ray_tracer_2_tpu.assets.manager import AssetManager
+        assets = AssetManager()
+
+    records: list[MaterialRecord] = []
+    record_ids: dict[tuple, int] = {}
+
+    def mat_id(rec: MaterialRecord) -> int:
+        key = (rec.color, rec.emission_color, rec.specular_color, rec.absorption,
+               rec.absorption_strength, rec.emission_strength, rec.smoothness,
+               rec.specular, rec.ior, rec.flag, rec.diffuse_index, rec.normal_index)
+        if key not in record_ids:
+            record_ids[key] = len(records)
+            records.append(rec)
+        return record_ids[key]
+
+    spheres: list[tuple[np.ndarray, float, int]] = []
+    # (transform_matrix_key) -> [(MeshData, mat_id)]
+    raw_groups: dict[bytes, dict] = {}
+
+    for e in definition.entities:
+        diffuse_index = -1
+        if e.material.diffuse_texture is not None:
+            diffuse_index = assets.load_texture(e.material.diffuse_texture)
+        resolved = e.material.resolve(diffuse_index=diffuse_index)
+
+        prim = e.primitive
+        if isinstance(prim, SphereDef):
+            spheres.append((prim.centre, prim.radius, mat_id(resolved)))
+            continue
+
+        if isinstance(prim, MeshFromFile):
+            submeshes = assets.load_model(prim.path, prim.use_mtl,
+                                          override=resolved)
+            parts = [(mesh, mat_id(rec)) for mesh, rec, _ in submeshes]
+        else:  # MeshFromData
+            parts = [(prim.resolved(), mat_id(resolved))]
+
+        m = e.transform.to_matrix()
+        key = m.tobytes()
+        group = raw_groups.setdefault(key, {"matrix": m, "parts": []})
+        group["parts"].extend(parts)
+
+    # ---- build per-group triangle soup + BVH ---------------------------
+    inst_w2m, inst_m2w, inst_node_off, inst_tri_off = [], [], [], []
+    tri_arrays = {k: [] for k in
+                  ("v0", "v1", "v2", "n0", "n1", "n2", "uv0", "uv1", "uv2", "mat")}
+    node_arrays = {k: [] for k in ("min", "max", "left", "right", "first", "count")}
+    bvh_stats = []
+    tri_cursor = 0
+    node_cursor = 0
+
+    for group in raw_groups.values():
+        soup = _concat_soup(group["parts"])
+        if soup is None:
+            continue
+        v0, v1, v2, n0, n1, n2, uv0, uv1, uv2, mats = soup
+        bvh = build_bvh(v0, v1, v2, quality=quality, max_leaf=LEAF_CHUNK)
+        bvh_stats.append(bvh.stats)
+        o = bvh.tri_order
+        tri_arrays["v0"].append(v0[o]); tri_arrays["v1"].append(v1[o])
+        tri_arrays["v2"].append(v2[o])
+        tri_arrays["n0"].append(n0[o]); tri_arrays["n1"].append(n1[o])
+        tri_arrays["n2"].append(n2[o])
+        tri_arrays["uv0"].append(uv0[o]); tri_arrays["uv1"].append(uv1[o])
+        tri_arrays["uv2"].append(uv2[o])
+        tri_arrays["mat"].append(mats[o])
+        node_arrays["min"].append(bvh.node_min)
+        node_arrays["max"].append(bvh.node_max)
+        node_arrays["left"].append(bvh.node_left)
+        node_arrays["right"].append(bvh.node_right)
+        node_arrays["first"].append(bvh.node_first)
+        node_arrays["count"].append(bvh.node_count)
+
+        m = group["matrix"]
+        inst_m2w.append(m)
+        inst_w2m.append(np.linalg.inv(m.astype(np.float64)).astype(np.float32))
+        inst_node_off.append(node_cursor)
+        inst_tri_off.append(tri_cursor)
+        tri_cursor += len(v0)
+        node_cursor += bvh.n_nodes
+
+    n_tris = tri_cursor
+
+    def cat(parts, pad_shape, dtype=np.float32):
+        pad = np.zeros((LEAF_CHUNK, *pad_shape), dtype)
+        arrs = parts + [pad]
+        return np.concatenate(arrs, axis=0) if parts else pad
+
+    tri = {
+        k: cat(tri_arrays[k], (3,) if k.startswith(("v", "n")) and k != "mat"
+               else ((2,) if k.startswith("uv") else ()),
+               np.int32 if k == "mat" else np.float32)
+        for k in tri_arrays
+    }
+    if node_cursor:
+        nodes = {k: np.concatenate(node_arrays[k], axis=0) for k in node_arrays}
+    else:
+        nodes = {"min": np.zeros((0, 3), np.float32), "max": np.zeros((0, 3), np.float32),
+                 "left": np.zeros(0, np.int32), "right": np.zeros(0, np.int32),
+                 "first": np.zeros(0, np.int32), "count": np.zeros(0, np.int32)}
+
+    # ---- spheres --------------------------------------------------------
+    if spheres:
+        sphere_pos = np.stack([s[0] for s in spheres]).astype(np.float32)
+        sphere_radius = np.array([s[1] for s in spheres], np.float32)
+        sphere_mat = np.array([s[2] for s in spheres], np.int32)
+    else:
+        sphere_pos = np.zeros((0, 3), np.float32)
+        sphere_radius = np.zeros(0, np.float32)
+        sphere_mat = np.zeros(0, np.int32)
+
+    atlas = TextureAtlas.from_images(assets.texture_images())
+    table = MaterialTable.from_records(records)
+    cam_u = definition.camera.to_uniform()
+
+    rs = RenderScene(
+        sphere_pos=jnp.asarray(sphere_pos),
+        sphere_radius=jnp.asarray(sphere_radius),
+        sphere_mat=jnp.asarray(sphere_mat),
+        inst_world_to_model=jnp.asarray(
+            np.stack(inst_w2m) if inst_w2m else np.zeros((0, 4, 4), np.float32)),
+        inst_model_to_world=jnp.asarray(
+            np.stack(inst_m2w) if inst_m2w else np.zeros((0, 4, 4), np.float32)),
+        inst_node_offset=jnp.asarray(np.array(inst_node_off, np.int32)),
+        inst_tri_offset=jnp.asarray(np.array(inst_tri_off, np.int32)),
+        tri_v0=jnp.asarray(tri["v0"]), tri_v1=jnp.asarray(tri["v1"]),
+        tri_v2=jnp.asarray(tri["v2"]),
+        tri_n0=jnp.asarray(tri["n0"]), tri_n1=jnp.asarray(tri["n1"]),
+        tri_n2=jnp.asarray(tri["n2"]),
+        tri_uv0=jnp.asarray(tri["uv0"]), tri_uv1=jnp.asarray(tri["uv1"]),
+        tri_uv2=jnp.asarray(tri["uv2"]),
+        tri_mat=jnp.asarray(tri["mat"]),
+        node_min=jnp.asarray(nodes["min"]), node_max=jnp.asarray(nodes["max"]),
+        node_left=jnp.asarray(nodes["left"]), node_right=jnp.asarray(nodes["right"]),
+        node_first=jnp.asarray(nodes["first"]), node_count=jnp.asarray(nodes["count"]),
+        materials=table,
+        tex_texels=jnp.asarray(atlas.texels),
+        tex_offset=jnp.asarray(atlas.offsets),
+        tex_h=jnp.asarray(atlas.heights),
+        tex_w=jnp.asarray(atlas.widths),
+        cam_to_world=jnp.asarray(cam_u.cam_to_world),
+        view_params=jnp.asarray(cam_u.view_params),
+        defocus_strength=jnp.float32(cam_u.defocus_strength),
+        diverge_strength=jnp.float32(cam_u.diverge_strength),
+    )
+    log.info("scene instantiated: %d spheres, %d instance groups, %d tris, %d nodes",
+             len(spheres), rs.n_instances, n_tris, rs.n_nodes)
+    return HostScene(
+        camera=definition.camera,
+        render_scene=rs,
+        bvh_stats=bvh_stats,
+        n_spheres=len(spheres),
+        n_instances=rs.n_instances,
+        n_triangles=n_tris,
+        n_nodes=rs.n_nodes,
+    )
+
+
+def _concat_soup(parts: list[tuple[MeshData, int]]):
+    """Concatenate (MeshData, mat_id) parts into per-corner SoA arrays."""
+    v0s, v1s, v2s, n0s, n1s, n2s, u0s, u1s, u2s, mats = ([] for _ in range(10))
+    for mesh, mid in parts:
+        idx = mesh.indices.reshape(-1, 3)
+        if len(idx) == 0:
+            continue
+        p, n, uv = mesh.positions, mesh.normals, mesh.uvs
+        v0s.append(p[idx[:, 0]]); v1s.append(p[idx[:, 1]]); v2s.append(p[idx[:, 2]])
+        n0s.append(n[idx[:, 0]]); n1s.append(n[idx[:, 1]]); n2s.append(n[idx[:, 2]])
+        u0s.append(uv[idx[:, 0]]); u1s.append(uv[idx[:, 1]]); u2s.append(uv[idx[:, 2]])
+        mats.append(np.full(len(idx), mid, np.int32))
+    if not v0s:
+        return None
+    c = lambda xs: np.concatenate(xs, axis=0)
+    return (c(v0s), c(v1s), c(v2s), c(n0s), c(n1s), c(n2s),
+            c(u0s), c(u1s), c(u2s), c(mats))

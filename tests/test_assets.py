@@ -1,0 +1,118 @@
+"""OBJ/MTL loading parity against the checked-in reference assets
+(SURVEY.md §4: parser vs CornellBox-Original.mtl, dice.mtl)."""
+import numpy as np
+import pytest
+
+from tests.conftest import require_asset
+
+
+def test_cornell_parse(assets):
+    require_asset(assets, "CornellBox-Original.obj")
+    parts = assets.load_model("CornellBox-Original.obj", use_mtl=True)
+    labels = [lbl for _, _, lbl in parts]
+    total_tris = sum(m.triangle_count() for m, _, _ in parts)
+    assert total_tris == 32  # 5 walls*2 + 2 boxes*(5 quads=10) + light*2
+    # light material: Ke 17 → strength 34 after the reference's ×2
+    light = [rec for _, rec, lbl in parts if lbl == "light"][0]
+    # Ke 17 12 4 → strength = 17, ×2 = 34; color = Ke/17
+    assert abs(light.emission_strength - 34.0) < 1e-5
+    np.testing.assert_allclose(light.emission_color[:3],
+                               [1.0, 12.0 / 17.0, 4.0 / 17.0], atol=1e-6)
+    # walls are diffuse with Ks=0 → specular 0
+    wall = [rec for _, rec, lbl in parts if lbl == "leftWall"][0]
+    assert wall.specular == 0.0
+    # Ns 10 → smoothness sqrt(0.1)
+    assert abs(wall.smoothness - 0.1 ** 0.5) < 1e-5
+
+
+def test_dice_parse_textured(assets):
+    require_asset(assets, "dice.obj")
+    parts = assets.load_model("dice.obj", use_mtl=True)
+    mesh, rec, _ = parts[0]
+    assert rec.flag == 2  # TEXTURE (map_Kd dice.png)
+    assert rec.diffuse_index >= 0
+    assert mesh.uvs.shape[1] == 2 and np.abs(mesh.uvs).max() > 0
+    # normals present & unit
+    norms = np.linalg.norm(mesh.normals, axis=1)
+    np.testing.assert_allclose(norms, 1.0, atol=1e-3)
+
+
+def test_mtl_conversion_rules(tmp_path):
+    from ray_tracer_2_tpu.assets.obj import load_mtl
+    from ray_tracer_2_tpu.assets.manager import material_from_mtl
+    mtl = tmp_path / "t.mtl"
+    mtl.write_text("""
+newmtl glassy
+Ns 400.0
+Ni 1.52
+illum 4
+Kd 0.2 0.3 0.4
+Ks 0.5 0.6 0.7
+newmtl lamp
+Ke 2.0 1.0 0.5
+""")
+    mats = load_mtl(mtl)
+    g = material_from_mtl(mats["glassy"], -1, -1)
+    assert g.flag == 1  # GLASS via illum 4
+    assert abs(g.ior - 1.52) < 1e-6
+    assert g.smoothness == 1.0  # sqrt(4) clamped to 1
+    assert abs(g.specular - 0.7) < 1e-6
+    lamp = material_from_mtl(mats["lamp"], -1, -1)
+    assert abs(lamp.emission_strength - 4.0) < 1e-6  # max(Ke)*2
+    np.testing.assert_allclose(lamp.emission_color[:3], [1.0, 0.5, 0.25])
+
+
+def test_negative_indices(tmp_path):
+    from ray_tracer_2_tpu.assets.obj import load_obj
+    p = tmp_path / "neg.obj"
+    p.write_text("""
+v 0 0 0
+v 1 0 0
+v 0 1 0
+f -3 -2 -1
+v 0 0 1
+v 1 0 1
+v 0 1 1
+f -3 -2 -1
+""")
+    models, _ = load_obj(p)
+    soup = np.concatenate([m.positions for m in models])
+    assert soup.shape == (6, 3)
+    np.testing.assert_allclose(soup[3], [0, 0, 1])
+
+
+def test_texture_flip(assets, tmp_path):
+    """Images are flipped horizontally at load (asset.rs:77)."""
+    from PIL import Image
+    from ray_tracer_2_tpu.assets.textures import load_image_rgba
+    img = np.zeros((1, 2, 3), np.uint8)
+    img[0, 0] = [255, 0, 0]
+    p = tmp_path / "t.png"
+    Image.fromarray(img).save(p)
+    arr = load_image_rgba(p)
+    assert arr[0, 1, 0] == 1.0 and arr[0, 0, 0] == 0.0
+
+
+def test_quality_atlas_roundtrip():
+    from ray_tracer_2_tpu.assets.textures import TextureAtlas
+    img = np.random.default_rng(0).uniform(size=(4, 6, 4)).astype(np.float32)
+    atlas = TextureAtlas.from_images([img])
+    assert atlas.heights[0] == 4 and atlas.widths[0] == 6
+    got = atlas.texels[atlas.offsets[0]:atlas.offsets[0] + 24].reshape(4, 6, 4)
+    np.testing.assert_allclose(got, img)
+
+
+def test_dragon_80k_synthesis(assets):
+    require_asset(assets, "dragon.obj")
+    from ray_tracer_2_tpu.assets.procedural import densify_to
+    parts = assets.load_model("dragon.obj", use_mtl=False)
+    mesh, _, _ = parts[0]
+    idx = mesh.indices.reshape(-1, 3)
+    v, n, uv = mesh.positions[idx], mesh.normals[idx], mesh.uvs[idx]
+    v2, n2, uv2 = densify_to(v, n, uv, 20000)
+    assert 20000 <= len(v2) <= 20002
+    # surface identical: total area preserved
+    def area(t):
+        return 0.5 * np.linalg.norm(
+            np.cross(t[:, 1] - t[:, 0], t[:, 2] - t[:, 0]), axis=-1).sum()
+    assert abs(area(v2) - area(v)) / area(v) < 1e-4
