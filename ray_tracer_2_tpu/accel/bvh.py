@@ -65,6 +65,7 @@ class BVH:
     node_right: np.ndarray  # (N,) int32
     node_first: np.ndarray  # (N,) int32 — first triangle (local), leaf only
     node_count: np.ndarray  # (N,) int32 — 0 ⇒ internal
+    node_axis: np.ndarray   # (N,) int32 — split axis (internal), 0 for leaves
     tri_order: np.ndarray   # (T,) int64 permutation of input triangles
     stats: BVHStats
 
@@ -81,8 +82,8 @@ def build_bvh(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
     n = len(v0)
     if n == 0:
         z3 = np.zeros((1, 3), np.float32)
-        return BVH(z3, z3, np.zeros(1, np.int32), np.zeros(1, np.int32),
-                   np.zeros(1, np.int32), np.zeros(1, np.int32),
+        zi = np.zeros(1, np.int32)
+        return BVH(z3, z3, zi, zi.copy(), zi.copy(), zi.copy(), zi.copy(),
                    np.zeros(0, np.int64), BVHStats())
 
     tri_min = np.minimum(np.minimum(v0, v1), v2).astype(np.float32)
@@ -97,59 +98,69 @@ def build_bvh(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
     node_right = [0]
     node_first = [0]
     node_count = [n]
+    node_axis = [0]
 
     stats = BVHStats()
     leaf_depths: list[int] = []
     leaf_tris: list[int] = []
 
-    if quality is not BVHQuality.DISABLED:
-        # Explicit stack of (node_idx, start, count, depth).
-        stack = [(0, 0, n, 0)]
-        while stack:
-            node_idx, start, count, depth = stack.pop()
-            sel = order[start:start + count]
-            bb_min, bb_max = node_min[node_idx], node_max[node_idx]
-            parent_cost = _half_area(bb_min, bb_max) * count
+    # Explicit stack of (node_idx, start, count, depth). Leaves are ALWAYS
+    # forced down to <= max_leaf (the traversal kernel's fixed chunk width);
+    # DISABLED quality means "no SAH" (median splits only), not "one giant
+    # leaf" as in the reference (bvh.rs:270-273) — the vector kernel needs
+    # the bound either way.
+    stack = [(0, 0, n, 0)]
+    hard_depth = 2 * MAX_DEPTH  # forced median splits may exceed SAH depth
+    while stack:
+        node_idx, start, count, depth = stack.pop()
+        sel = order[start:start + count]
+        bb_min, bb_max = node_min[node_idx], node_max[node_idx]
+        parent_cost = _half_area(bb_min, bb_max) * count
 
-            split = None
-            if count > 1 and depth < MAX_DEPTH:
-                if quality is BVHQuality.HIGH:
-                    split = _best_binned_split(centroid[sel], tri_min[sel],
-                                               tri_max[sel], bb_min, bb_max)
-                else:
-                    split = _midpoint_split(centroid[sel], tri_min[sel],
-                                            tri_max[sel], bb_min, bb_max)
-
-            must_split = count > max_leaf and depth < MAX_DEPTH
-            good_split = split is not None and split[0] < parent_cost
-            if good_split or (must_split and split is not None):
-                _, mask, lmin, lmax, rmin, rmax = split
-                if not mask.any() or mask.all():
-                    # Degenerate (all centroids coincide on the axis): median
-                    # index split keeps the tree balanced.
-                    half = count // 2
-                    mask = np.zeros(count, bool)
-                    mask[:half] = True
-                    lmin = tri_min[sel[mask]].min(axis=0); lmax = tri_max[sel[mask]].max(axis=0)
-                    rmin = tri_min[sel[~mask]].min(axis=0); rmax = tri_max[sel[~mask]].max(axis=0)
-                # Partition the permutation in place (bvh.rs:400-411).
-                order[start:start + count] = np.concatenate([sel[mask], sel[~mask]])
-                left_count = int(mask.sum())
-
-                left_idx = len(node_count)
-                right_idx = left_idx + 1
-                node_min.extend([lmin, rmin]); node_max.extend([lmax, rmax])
-                node_left.extend([0, 0]); node_right.extend([0, 0])
-                node_first.extend([start, start + left_count])
-                node_count.extend([left_count, count - left_count])
-                node_left[node_idx] = left_idx
-                node_right[node_idx] = right_idx
-                node_count[node_idx] = 0
-                stack.append((left_idx, start, left_count, depth + 1))
-                stack.append((right_idx, start + left_count, count - left_count, depth + 1))
+        split = None
+        if count > 1 and depth < MAX_DEPTH and quality is not BVHQuality.DISABLED:
+            if quality is BVHQuality.HIGH:
+                split = _best_binned_split(centroid[sel], tri_min[sel],
+                                           tri_max[sel], bb_min, bb_max)
             else:
-                leaf_depths.append(depth)
-                leaf_tris.append(count)
+                split = _midpoint_split(centroid[sel], tri_min[sel],
+                                        tri_max[sel], bb_min, bb_max)
+
+        must_split = count > max_leaf and depth < hard_depth
+        good_split = (split is not None and split[0] < parent_cost
+                      and split[1].any() and not split[1].all())
+        if good_split or must_split:
+            if good_split:
+                _, mask, axis, lmin, lmax, rmin, rmax = split
+            else:
+                # Median index split: always valid, keeps the tree balanced.
+                mask = np.zeros(count, bool)
+                mask[:count // 2] = True
+                axis = int(np.argmax(bb_max - bb_min))
+                lmin = tri_min[sel[mask]].min(axis=0)
+                lmax = tri_max[sel[mask]].max(axis=0)
+                rmin = tri_min[sel[~mask]].min(axis=0)
+                rmax = tri_max[sel[~mask]].max(axis=0)
+            # Partition the permutation in place (bvh.rs:400-411).
+            order[start:start + count] = np.concatenate([sel[mask], sel[~mask]])
+            left_count = int(mask.sum())
+
+            left_idx = len(node_count)
+            right_idx = left_idx + 1
+            node_min.extend([lmin, rmin]); node_max.extend([lmax, rmax])
+            node_left.extend([0, 0]); node_right.extend([0, 0])
+            node_first.extend([start, start + left_count])
+            node_count.extend([left_count, count - left_count])
+            node_axis.extend([0, 0])
+            node_left[node_idx] = left_idx
+            node_right[node_idx] = right_idx
+            node_count[node_idx] = 0
+            node_axis[node_idx] = axis
+            stack.append((left_idx, start, left_count, depth + 1))
+            stack.append((right_idx, start + left_count, count - left_count, depth + 1))
+        else:
+            leaf_depths.append(depth)
+            leaf_tris.append(count)
 
     stats.build_seconds = time.perf_counter() - t_start
     stats.node_count = len(node_count)
@@ -172,6 +183,7 @@ def build_bvh(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
         node_right=np.asarray(node_right, np.int32),
         node_first=np.asarray(node_first, np.int32),
         node_count=np.asarray(node_count, np.int32),
+        node_axis=np.asarray(node_axis, np.int32),
         tri_order=order,
         stats=stats,
     )
@@ -189,7 +201,7 @@ def _half_area_vec(bmin, bmax):
 
 def _best_binned_split(c, tmin, tmax, bb_min, bb_max):
     """Binned SAH over all 3 axes at once. Returns
-    (cost, left_mask, lmin, lmax, rmin, rmax) or None."""
+    (cost, left_mask, axis, lmin, lmax, rmin, rmax) or None."""
     # Bin by centroid over the *centroid* extent of each axis.
     c_lo = c.min(axis=0)
     c_hi = c.max(axis=0)
@@ -221,7 +233,7 @@ def _best_binned_split(c, tmin, tmax, bb_min, bb_max):
             continue
         if best is None or cost[k] < best[0]:
             mask = bins <= k
-            best = (float(cost[k]), mask,
+            best = (float(cost[k]), mask, axis,
                     lmin[k].copy(), lmax[k].copy(), rmin[k].copy(), rmax[k].copy())
     return best
 
@@ -233,8 +245,8 @@ def _midpoint_split(c, tmin, tmax, bb_min, bb_max):
     pos = bb_min[axis] + e[axis] * 0.5
     mask = c[:, axis] < pos
     if not mask.any() or mask.all():
-        return float("inf"), mask, None, None, None, None
+        return float("inf"), mask, axis, None, None, None, None
     lmin = tmin[mask].min(axis=0); lmax = tmax[mask].max(axis=0)
     rmin = tmin[~mask].min(axis=0); rmax = tmax[~mask].max(axis=0)
     cost = mask.sum() * _half_area(lmin, lmax) + (~mask).sum() * _half_area(rmin, rmax)
-    return float(cost), mask, lmin, lmax, rmin, rmax
+    return float(cost), mask, axis, lmin, lmax, rmin, rmax

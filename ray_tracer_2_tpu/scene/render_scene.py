@@ -77,6 +77,11 @@ class RenderScene:
     node_first: jax.Array
     node_count: jax.Array
 
+    # Octant skip-link threading (accel/threading.py): GLOBAL node indices,
+    # -1 terminates; row = ray-direction octant.
+    link_hit: jax.Array          # (8, N) i32
+    link_miss: jax.Array         # (8, N) i32
+
     materials: MaterialTable
 
     # Texture atlas (flat texel buffer + slot tables)
@@ -184,10 +189,13 @@ def instantiate_scene(definition: SceneDefinition,
         group["parts"].extend(parts)
 
     # ---- build per-group triangle soup + BVH ---------------------------
+    from ray_tracer_2_tpu.accel.threading import compute_skip_links
+
     inst_w2m, inst_m2w, inst_node_off, inst_tri_off = [], [], [], []
     tri_arrays = {k: [] for k in
                   ("v0", "v1", "v2", "n0", "n1", "n2", "uv0", "uv1", "uv2", "mat")}
-    node_arrays = {k: [] for k in ("min", "max", "left", "right", "first", "count")}
+    node_arrays = {k: [] for k in ("min", "max", "left", "right", "first",
+                                   "count", "lhit", "lmiss")}
     bvh_stats = []
     tri_cursor = 0
     node_cursor = 0
@@ -199,6 +207,11 @@ def instantiate_scene(definition: SceneDefinition,
         v0, v1, v2, n0, n1, n2, uv0, uv1, uv2, mats = soup
         bvh = build_bvh(v0, v1, v2, quality=quality, max_leaf=LEAF_CHUNK)
         bvh_stats.append(bvh.stats)
+        lhit, lmiss = compute_skip_links(bvh)
+        node_arrays["lhit"].append(
+            np.where(lhit >= 0, lhit + node_cursor, -1).astype(np.int32))
+        node_arrays["lmiss"].append(
+            np.where(lmiss >= 0, lmiss + node_cursor, -1).astype(np.int32))
         o = bvh.tri_order
         tri_arrays["v0"].append(v0[o]); tri_arrays["v1"].append(v1[o])
         tri_arrays["v2"].append(v2[o])
@@ -236,11 +249,15 @@ def instantiate_scene(definition: SceneDefinition,
         for k in tri_arrays
     }
     if node_cursor:
-        nodes = {k: np.concatenate(node_arrays[k], axis=0) for k in node_arrays}
+        nodes = {k: np.concatenate(node_arrays[k],
+                                   axis=1 if k in ("lhit", "lmiss") else 0)
+                 for k in node_arrays}
     else:
         nodes = {"min": np.zeros((0, 3), np.float32), "max": np.zeros((0, 3), np.float32),
                  "left": np.zeros(0, np.int32), "right": np.zeros(0, np.int32),
-                 "first": np.zeros(0, np.int32), "count": np.zeros(0, np.int32)}
+                 "first": np.zeros(0, np.int32), "count": np.zeros(0, np.int32),
+                 "lhit": np.zeros((8, 0), np.int32),
+                 "lmiss": np.zeros((8, 0), np.int32)}
 
     # ---- spheres --------------------------------------------------------
     if spheres:
@@ -276,6 +293,7 @@ def instantiate_scene(definition: SceneDefinition,
         node_min=jnp.asarray(nodes["min"]), node_max=jnp.asarray(nodes["max"]),
         node_left=jnp.asarray(nodes["left"]), node_right=jnp.asarray(nodes["right"]),
         node_first=jnp.asarray(nodes["first"]), node_count=jnp.asarray(nodes["count"]),
+        link_hit=jnp.asarray(nodes["lhit"]), link_miss=jnp.asarray(nodes["lmiss"]),
         materials=table,
         tex_texels=jnp.asarray(atlas.texels),
         tex_offset=jnp.asarray(atlas.offsets),

@@ -1,0 +1,238 @@
+"""Interactive browser viewer — the reference's window + egui UI reborn
+(ref: src/core/app.rs event loop, src/rendering/egui.rs panels).
+
+The reference couples rendering to a winit window and egui immediate-mode UI.
+On a headless TPU host the equivalent split is: the render loop runs in a
+Python thread (async device dispatch), and a stdlib HTTP server streams the
+framebuffer to a browser canvas while receiving input events back — the same
+UI/render separation the reference gets from its thread split (README.md:5).
+
+Endpoints:
+  GET  /            viewer page (canvas + inspector/debug panels)
+  GET  /frame.jpg   latest framebuffer (JPEG, gamma-encoded)
+  GET  /state       stats + params JSON (egui Debug panel, egui.rs:378-484)
+  POST /input       {keys, mouse, wheel, set: {param: value}, action: ...}
+
+Key bindings mirror app.rs:172-272: WASD/arrows+Space/Shift move, Q next
+scene, E cycle debug mode, P save PNG, F fullscreen (browser-side), R low-res
+toggle, 1 skybox, 2 accumulate, Esc releases the mouse.
+"""
+from __future__ import annotations
+
+import dataclasses
+import io
+import json
+import logging
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from pathlib import Path
+
+import numpy as np
+
+from ray_tracer_2_tpu.config import DebugMode
+from ray_tracer_2_tpu.engine.engine import Engine
+from ray_tracer_2_tpu.engine.export import framebuffer_to_srgb
+from ray_tracer_2_tpu.scene.scenes import SceneName
+
+log = logging.getLogger(__name__)
+
+_HTML_PATH = Path(__file__).with_name("viewer.html")
+
+
+class ViewerServer:
+    def __init__(self, engine: Engine, host: str = "127.0.0.1",
+                 port: int = 8000, jpeg_quality: int = 85):
+        self.engine = engine
+        self.host = host
+        self.port = port
+        self.jpeg_quality = jpeg_quality
+        self._frame_jpeg: bytes = b""
+        self._frame_id = 0
+        self._lock = threading.Lock()
+        self._stop = threading.Event()
+        self._moving_until = 0.0
+        self._httpd: ThreadingHTTPServer | None = None
+
+    # ------------------------------------------------------- render loop
+
+    def _render_loop(self) -> None:
+        eng = self.engine
+        while not self._stop.is_set():
+            moving = time.monotonic() < self._moving_until
+            fb = eng.update(is_moving=moving)
+            if fb is None:
+                time.sleep(0.05)
+                continue
+            img = framebuffer_to_srgb(eng.renderer.read_framebuffer())
+            from PIL import Image
+            buf = io.BytesIO()
+            Image.fromarray(img).save(buf, format="JPEG",
+                                      quality=self.jpeg_quality)
+            with self._lock:
+                self._frame_jpeg = buf.getvalue()
+                self._frame_id += 1
+
+    # ------------------------------------------------------------ input
+
+    def handle_input(self, msg: dict) -> None:
+        eng = self.engine
+        scene = eng.scene_manager.scene
+        cam = scene.camera if scene else None
+
+        for key, pressed in msg.get("keys", {}).items():
+            if cam is not None:
+                cam.controller.process_keyboard(key, bool(pressed))
+            if pressed:
+                self._hotkey(key)
+        mouse = msg.get("mouse")
+        if mouse and cam is not None:
+            cam.controller.process_mouse(mouse[0], mouse[1])
+            self._moving_until = time.monotonic() + 0.15
+        wheel = msg.get("wheel")
+        if wheel and cam is not None:
+            cam.controller.process_scroll(float(wheel))
+        if any(msg.get("keys", {}).values()):
+            self._moving_until = time.monotonic() + 0.15
+
+        for name, value in (msg.get("set") or {}).items():
+            self._set_param(name, value)
+
+    def _hotkey(self, key: str) -> None:
+        eng = self.engine
+        if key == "q":
+            eng.next_scene()
+        elif key == "e":
+            eng.cycle_debug_mode()
+        elif key == "p":
+            eng.save_render(f"render_{int(time.time())}.png")
+        elif key == "1":
+            eng.toggle_skybox()
+        elif key == "2":
+            eng.toggle_accumulate()
+
+    def _set_param(self, name: str, value) -> None:
+        """Inspector edits (egui.rs:87-376): any change resets accumulation
+        (egui.rs:498-507)."""
+        eng = self.engine
+        p = eng.params
+        if name in ("bounces", "rays_per_pixel", "debug_scale"):
+            eng.params = dataclasses.replace(p, **{name: int(value)}, frames=-1)
+        elif name in ("skybox", "accumulate"):
+            eng.params = dataclasses.replace(p, **{name: bool(value)}, frames=-1)
+        elif name == "debug_mode":
+            eng.params = dataclasses.replace(p, debug_mode=DebugMode(int(value)),
+                                             frames=-1)
+        elif name == "scene":
+            eng.scene_manager.request_scene(SceneName(value))
+        elif name in ("fov", "focus_dist", "defocus_strength",
+                      "diverge_strength"):
+            scene = eng.scene_manager.scene
+            if scene is not None:
+                setattr(scene.camera, name, float(value))
+                scene.refresh_camera()
+                eng.params = dataclasses.replace(p, frames=-1)
+
+    # ------------------------------------------------------------ state
+
+    def state(self) -> dict:
+        eng = self.engine
+        s = eng.stats
+        scene = eng.scene_manager.scene
+        return dict(
+            frame=s.frame, fps=round(s.fps, 1),
+            frame_time_ms=round(s.frame_time_ms, 2),
+            mrays_per_s=round(s.mrays_per_s, 2),
+            accumulated_frames=s.accumulated_frames,
+            bvh_nodes=s.bvh_nodes, bvh_triangles=s.bvh_triangles,
+            n_spheres=scene.n_spheres if scene else 0,
+            scene=(eng.scene_manager.selected_scene.value
+                   if eng.scene_manager.selected_scene else None),
+            scenes=[n.value for n in SceneName.all()],
+            params=dict(
+                width=eng.params.width, height=eng.params.height,
+                bounces=eng.params.bounces,
+                rays_per_pixel=eng.params.rays_per_pixel,
+                skybox=eng.params.skybox, accumulate=eng.params.accumulate,
+                debug_mode=int(eng.params.debug_mode),
+                debug_scale=eng.params.debug_scale,
+            ),
+            camera=(dict(pos=[float(v) for v in scene.camera.transform.pos],
+                         fov=scene.camera.fov,
+                         focus_dist=scene.camera.focus_dist,
+                         defocus_strength=scene.camera.defocus_strength,
+                         diverge_strength=scene.camera.diverge_strength)
+                    if scene else None),
+            frame_id=self._frame_id,
+        )
+
+    # ----------------------------------------------------------- server
+
+    def serve_forever(self) -> None:
+        viewer = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *args):
+                pass
+
+            def _send(self, code, body: bytes, ctype: str):
+                self.send_response(code)
+                self.send_header("Content-Type", ctype)
+                self.send_header("Content-Length", str(len(body)))
+                self.send_header("Cache-Control", "no-store")
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self):
+                if self.path == "/" or self.path.startswith("/index"):
+                    self._send(200, _HTML_PATH.read_bytes(),
+                               "text/html; charset=utf-8")
+                elif self.path.startswith("/frame.jpg"):
+                    with viewer._lock:
+                        data = viewer._frame_jpeg
+                    self._send(200 if data else 503, data or b"loading",
+                               "image/jpeg" if data else "text/plain")
+                elif self.path.startswith("/state"):
+                    self._send(200, json.dumps(viewer.state()).encode(),
+                               "application/json")
+                else:
+                    self._send(404, b"not found", "text/plain")
+
+            def do_POST(self):
+                if self.path.startswith("/input"):
+                    n = int(self.headers.get("Content-Length", 0))
+                    try:
+                        msg = json.loads(self.rfile.read(n) or b"{}")
+                        viewer.handle_input(msg)
+                        self._send(200, b"{}", "application/json")
+                    except Exception as e:  # bad client input must not kill the UI
+                        log.exception("bad /input")
+                        self._send(400, str(e).encode(), "text/plain")
+                else:
+                    self._send(404, b"not found", "text/plain")
+
+        render_thread = threading.Thread(target=self._render_loop, daemon=True)
+        render_thread.start()
+        self._httpd = ThreadingHTTPServer((self.host, self.port), Handler)
+        log.info("viewer at http://%s:%d", self.host, self.port)
+        try:
+            self._httpd.serve_forever()
+        finally:
+            self._stop.set()
+
+    def shutdown(self) -> None:
+        self._stop.set()
+        if self._httpd is not None:
+            self._httpd.shutdown()
+
+
+def run_viewer(width: int = 960, height: int = 540,
+               scene: SceneName = SceneName.CORNELL_BOX,
+               host: str = "127.0.0.1", port: int = 8000) -> None:
+    engine = Engine(width=width, height=height, initial_scene=scene)
+    ViewerServer(engine, host=host, port=port).serve_forever()
+
+
+if __name__ == "__main__":
+    logging.basicConfig(level=logging.INFO)
+    run_viewer()

@@ -53,27 +53,39 @@ def test_empty_and_single():
     assert bvh1.node_count[0] == 1
 
 
-def test_traversal_matches_bruteforce():
-    from ray_tracer_2_tpu.kernels.traverse import traverse_bvh
+def _scene_stub(v0, v1, v2, bvh):
+    from ray_tracer_2_tpu.scene.render_scene import LEAF_CHUNK
+    from ray_tracer_2_tpu.scene.material import MaterialTable, MaterialRecord
+    from ray_tracer_2_tpu.accel.threading import compute_skip_links
+
+    o = bvh.tri_order
+    pad = np.zeros((LEAF_CHUNK, 3), np.float32)
+    lhit, lmiss = compute_skip_links(bvh)
+
+    class SceneStub:
+        tri_v0 = jnp.asarray(np.concatenate([v0[o], pad]))
+        tri_v1 = jnp.asarray(np.concatenate([v1[o], pad]))
+        tri_v2 = jnp.asarray(np.concatenate([v2[o], pad]))
+        tri_mat = jnp.zeros(len(v0) + LEAF_CHUNK, jnp.int32)
+        node_min = jnp.asarray(bvh.node_min); node_max = jnp.asarray(bvh.node_max)
+        node_left = jnp.asarray(bvh.node_left); node_right = jnp.asarray(bvh.node_right)
+        node_first = jnp.asarray(bvh.node_first); node_count = jnp.asarray(bvh.node_count)
+        link_hit = jnp.asarray(lhit); link_miss = jnp.asarray(lmiss)
+        materials = MaterialTable.from_records([MaterialRecord()])
+
+    return SceneStub()
+
+
+@pytest.mark.parametrize("variant", ["skiplink", "stack"])
+def test_traversal_matches_bruteforce(variant):
+    from ray_tracer_2_tpu.kernels.traverse import traverse_bvh, traverse_bvh_stack
     from ray_tracer_2_tpu.kernels.intersect import ray_triangle, INF
     from ray_tracer_2_tpu.scene.render_scene import LEAF_CHUNK
-    import dataclasses as dc
-    from ray_tracer_2_tpu.scene.material import MaterialTable, MaterialRecord
 
     v0, v1, v2 = random_soup(300, seed=3)
     bvh = build_bvh(v0, v1, v2, max_leaf=LEAF_CHUNK)
     o = bvh.tri_order
-    pad = np.zeros((LEAF_CHUNK, 3), np.float32)
-    tv0 = np.concatenate([v0[o], pad]); tv1 = np.concatenate([v1[o], pad])
-    tv2 = np.concatenate([v2[o], pad])
-
-    class SceneStub:
-        tri_v0 = jnp.asarray(tv0); tri_v1 = jnp.asarray(tv1); tri_v2 = jnp.asarray(tv2)
-        tri_mat = jnp.zeros(len(tv0), jnp.int32)
-        node_min = jnp.asarray(bvh.node_min); node_max = jnp.asarray(bvh.node_max)
-        node_left = jnp.asarray(bvh.node_left); node_right = jnp.asarray(bvh.node_right)
-        node_first = jnp.asarray(bvh.node_first); node_count = jnp.asarray(bvh.node_count)
-        materials = MaterialTable.from_records([MaterialRecord()])
+    stub = _scene_stub(v0, v1, v2, bvh)
 
     r = np.random.default_rng(7)
     B = 64
@@ -81,9 +93,9 @@ def test_traversal_matches_bruteforce():
     direction = r.normal(size=(B, 3)).astype(np.float32)
     direction /= np.linalg.norm(direction, axis=1, keepdims=True)
 
-    res = traverse_bvh(SceneStub(), jnp.asarray(origin), jnp.asarray(direction),
-                       jnp.asarray(1.0 / direction), jnp.int32(0), jnp.int32(0),
-                       None)
+    fn = traverse_bvh if variant == "skiplink" else traverse_bvh_stack
+    res = fn(stub, jnp.asarray(origin), jnp.asarray(direction),
+             jnp.asarray(1.0 / direction), jnp.int32(0), jnp.int32(0), None)
 
     # brute force over all triangles (cull_backface=True: default material)
     hit, dst, u, v, det = ray_triangle(
@@ -95,3 +107,26 @@ def test_traversal_matches_bruteforce():
     miss = bf_dst >= float(INF)
     np.testing.assert_allclose(got_dst[~miss], bf_dst[~miss], rtol=1e-5)
     assert (np.asarray(res["tri"])[miss] == -1).all()
+
+
+def test_skiplink_equals_stack_traversal():
+    """The threaded walk must find identical hits to the stack walk."""
+    from ray_tracer_2_tpu.kernels.traverse import traverse_bvh, traverse_bvh_stack
+    from ray_tracer_2_tpu.scene.render_scene import LEAF_CHUNK
+
+    v0, v1, v2 = random_soup(800, seed=11)
+    bvh = build_bvh(v0, v1, v2, max_leaf=LEAF_CHUNK)
+    stub = _scene_stub(v0, v1, v2, bvh)
+    r = np.random.default_rng(5)
+    B = 128
+    origin = r.uniform(-7, 7, (B, 3)).astype(np.float32)
+    direction = r.normal(size=(B, 3)).astype(np.float32)
+    direction /= np.linalg.norm(direction, axis=1, keepdims=True)
+    a = traverse_bvh(stub, jnp.asarray(origin), jnp.asarray(direction),
+                     jnp.asarray(1.0 / direction), jnp.int32(0), jnp.int32(0))
+    b = traverse_bvh_stack(stub, jnp.asarray(origin), jnp.asarray(direction),
+                           jnp.asarray(1.0 / direction), jnp.int32(0),
+                           jnp.int32(0))
+    np.testing.assert_array_equal(np.asarray(a["tri"]), np.asarray(b["tri"]))
+    np.testing.assert_allclose(np.asarray(a["dst"]), np.asarray(b["dst"]),
+                               rtol=1e-6)
