@@ -76,10 +76,25 @@ class BVH:
 
 def build_bvh(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
               quality: BVHQuality = BVHQuality.HIGH,
-              max_leaf: int = DEFAULT_MAX_LEAF) -> BVH:
-    """Build over a triangle soup given as three (T, 3) vertex arrays."""
+              max_leaf: int = DEFAULT_MAX_LEAF,
+              use_native: bool | None = None) -> BVH:
+    """Build over a triangle soup given as three (T, 3) vertex arrays.
+
+    ``use_native``: force the C++ builder on/off; default tries native for
+    meshes large enough to matter and falls back to numpy.
+    """
     t_start = time.perf_counter()
     n = len(v0)
+
+    if use_native is None:
+        use_native = n >= 4096
+    if use_native and n > 0:
+        from ray_tracer_2_tpu.accel import native
+        q = {BVHQuality.DISABLED: 0, BVHQuality.LOW: 1, BVHQuality.HIGH: 2}[quality]
+        arrs = native.build_native(v0, v1, v2, max_leaf, q)
+        if arrs is not None:
+            stats = _stats_from_arrays(arrs, time.perf_counter() - t_start)
+            return BVH(stats=stats, **arrs)
     if n == 0:
         z3 = np.zeros((1, 3), np.float32)
         zi = np.zeros(1, np.int32)
@@ -116,6 +131,15 @@ def build_bvh(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
         sel = order[start:start + count]
         bb_min, bb_max = node_min[node_idx], node_max[node_idx]
         parent_cost = _half_area(bb_min, bb_max) * count
+
+        # Leaves are exactly one traversal chunk: splitting below max_leaf
+        # buys nothing (the kernel intersects LEAF_CHUNK triangles per leaf
+        # visit regardless) and triples node count/build time. The reference
+        # splits while SAH says so, down to 1-triangle leaves (bvh.rs:391).
+        if count <= max_leaf:
+            leaf_depths.append(depth)
+            leaf_tris.append(count)
+            continue
 
         split = None
         if count > 1 and depth < MAX_DEPTH and quality is not BVHQuality.DISABLED:
@@ -186,6 +210,45 @@ def build_bvh(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
         node_axis=np.asarray(node_axis, np.int32),
         tri_order=order,
         stats=stats,
+    )
+
+
+def _stats_from_arrays(arrs: dict, build_seconds: float) -> BVHStats:
+    """BVHStats (bvh.rs:474-530) recomputed from flat node arrays (the native
+    builder doesn't track stats inline)."""
+    count = arrs["node_count"]
+    left = arrs["node_left"]
+    right = arrs["node_right"]
+    n = len(count)
+    depth = np.zeros(n, np.int32)
+    internal = count == 0
+    # level sweep (parents precede children by construction)
+    cur = np.zeros(n, bool)
+    cur[0] = True
+    d = 0
+    while cur.any():
+        parents = cur & internal
+        nxt = np.zeros(n, bool)
+        nxt[left[parents]] = True
+        nxt[right[parents]] = True
+        depth[left[parents]] = d + 1
+        depth[right[parents]] = d + 1
+        cur = nxt
+        d += 1
+    leaves = ~internal
+    lt = count[leaves]
+    ld = depth[leaves]
+    return BVHStats(
+        build_seconds=build_seconds,
+        node_count=n,
+        leaf_count=int(leaves.sum()),
+        leaf_min_depth=int(ld.min()) if len(ld) else 0,
+        leaf_max_depth=int(ld.max()) if len(ld) else 0,
+        mean_depth=float(ld.mean()) if len(ld) else 0.0,
+        min_tris=int(lt.min()) if len(lt) else 0,
+        max_tris=int(lt.max()) if len(lt) else 0,
+        mean_tris=float(lt.mean()) if len(lt) else 0.0,
+        total_tris=int(lt.sum()),
     )
 
 

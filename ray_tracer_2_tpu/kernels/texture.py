@@ -9,18 +9,20 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
-def sample_bilinear(texels, tex_offset, tex_h, tex_w, slot, uv):
+def sample_bilinear(texels, tex_meta, slot, uv):
     """Bilinear sample with repeat wrap.
 
-    texels: (X, 4) f32 flat buffer; slot: (B,) int32 (clamped to >= 0 by the
-    caller's mask); uv: (B, 2). Returns (B, 4).
+    texels: (X, 4) f32 flat buffer; tex_meta: (64, 4) [offset, h, w, pad]
+    rows (one gather resolves all slot metadata); slot: (B,) int32 (clamped
+    to >= 0 by the caller's mask); uv: (B, 2). Returns (B, 4).
     """
     slot = jnp.maximum(slot, 0)
-    off = jnp.take(tex_offset, slot)
-    h = jnp.take(tex_h, slot)
-    w = jnp.take(tex_w, slot)
-    hf = h.astype(jnp.float32)
-    wf = w.astype(jnp.float32)
+    meta = jnp.take(tex_meta, slot, axis=0)
+    off = meta[:, 0].astype(jnp.int32)
+    h = meta[:, 1].astype(jnp.int32)
+    w = meta[:, 2].astype(jnp.int32)
+    hf = meta[:, 1]
+    wf = meta[:, 2]
 
     # Repeat wrap of the sample position, then texel-centered bilinear.
     u = uv[..., 0] - jnp.floor(uv[..., 0])

@@ -93,9 +93,13 @@ def compute_hit(scene: RenderScene, origin, direction, inv_dir):
 
     # ---- instance-group BVHs (ray_tracer.wgsl:369-393) ---------------
     if scene.n_instances > 0:
+        from ray_tracer_2_tpu.kernels.traverse import traverse_bvh_packed
+
         m_tri = jnp.full((B,), -1, jnp.int32)
         m_u = jnp.zeros((B,))
         m_v = jnp.zeros((B,))
+        m_det = jnp.zeros((B,))
+        m_mat = jnp.zeros((B,), jnp.int32)
         m_inst = jnp.zeros((B,), jnp.int32)
         m_point = point
         m_dst = jnp.full((B,), INF)
@@ -105,9 +109,8 @@ def compute_hit(scene: RenderScene, origin, direction, inv_dir):
             o_m = _mat4_apply(w2m, origin, 1)
             d_raw = _mat4_apply(w2m, direction, 0)
             d_m = normalize(d_raw)
-            res = traverse_bvh(scene, o_m, d_m, 1.0 / d_m,
-                               scene.inst_node_offset[i],
-                               scene.inst_tri_offset[i], None)
+            res = traverse_bvh_packed(scene, o_m, d_m, 1.0 / d_m,
+                                      scene.inst_node_offset[i])
             stats = stats + res["stats"]
             got = res["tri"] >= 0
             local_hp = o_m + d_m * res["dst"][:, None]
@@ -118,30 +121,24 @@ def compute_hit(scene: RenderScene, origin, direction, inv_dir):
             m_tri = jnp.where(better, res["tri"], m_tri)
             m_u = jnp.where(better, res["u"], m_u)
             m_v = jnp.where(better, res["v"], m_v)
+            m_det = jnp.where(better, res["det"], m_det)
+            m_mat = jnp.where(better, res["mat"], m_mat)
             m_inst = jnp.where(better, i, m_inst)
             m_point = jnp.where(better[:, None], world_hp, m_point)
 
         mesh_better = (m_tri >= 0) & (m_dst < best_dst)
-        # Resolve attributes for mesh winners (normals/uvs/backface).
+        # Winner attributes: one packed row (normals+uvs), one matrix gather.
         safe_tri = jnp.maximum(m_tri, 0)
-        w2m_sel = jnp.take(scene.inst_world_to_model, m_inst, axis=0)
+        attr = jnp.take(scene.tri_attr, safe_tri, axis=0)  # (B, 16)
         m2w_sel = jnp.take(scene.inst_model_to_world, m_inst, axis=0)
-        d_m = normalize(jnp.einsum("bij,bj->bi", w2m_sel[:, :3, :3], direction))
-        tv0 = jnp.take(scene.tri_v0, safe_tri, axis=0)
-        tv1 = jnp.take(scene.tri_v1, safe_tri, axis=0)
-        tv2 = jnp.take(scene.tri_v2, safe_tri, axis=0)
-        det = -dot(d_m, jnp.cross(tv1 - tv0, tv2 - tv0))
+        det = m_det
         w_bar = 1.0 - m_u - m_v
-        n0 = jnp.take(scene.tri_n0, safe_tri, axis=0)
-        n1 = jnp.take(scene.tri_n1, safe_tri, axis=0)
-        n2 = jnp.take(scene.tri_n2, safe_tri, axis=0)
-        n_model = normalize(n0 * w_bar[:, None] + n1 * m_u[:, None]
-                            + n2 * m_v[:, None]) * jnp.sign(det)[:, None]
+        n_model = normalize(attr[:, 0:3] * w_bar[:, None]
+                            + attr[:, 3:6] * m_u[:, None]
+                            + attr[:, 6:9] * m_v[:, None]) * jnp.sign(det)[:, None]
         n_world = normalize(jnp.einsum("bij,bj->bi", m2w_sel[:, :3, :3], n_model))
-        uv0 = jnp.take(scene.tri_uv0, safe_tri, axis=0)
-        uv1 = jnp.take(scene.tri_uv1, safe_tri, axis=0)
-        uv2 = jnp.take(scene.tri_uv2, safe_tri, axis=0)
-        m_uv = uv0 * w_bar[:, None] + uv1 * m_u[:, None] + uv2 * m_v[:, None]
+        m_uv = (attr[:, 9:11] * w_bar[:, None] + attr[:, 11:13] * m_u[:, None]
+                + attr[:, 13:15] * m_v[:, None])
 
         best_dst = jnp.where(mesh_better, m_dst, best_dst)
         hit_any = hit_any | mesh_better
@@ -149,10 +146,25 @@ def compute_hit(scene: RenderScene, origin, direction, inv_dir):
         normal = jnp.where(mesh_better[:, None], n_world, normal)
         uv = jnp.where(mesh_better[:, None], m_uv, uv)
         backface = jnp.where(mesh_better, det < 0.0, backface)
-        mat_id = jnp.where(mesh_better, jnp.take(scene.tri_mat, safe_tri), mat_id)
+        mat_id = jnp.where(mesh_better, m_mat, mat_id)
 
     return dict(hit=hit_any, dst=best_dst, point=point, normal=normal, uv=uv,
                 backface=backface, mat_id=mat_id, stats=stats)
+
+
+def _gather_material(scene: RenderScene, mat_id):
+    """One packed-row gather resolves every material field for shading
+    (layout: render_scene._pack_material_rows)."""
+    row = jnp.take(scene.mat_rows, mat_id, axis=0)  # (B, 32)
+    return dict(
+        color=row[:, 0:4], emission_color=row[:, 4:8],
+        specular_color=row[:, 8:12], absorption=row[:, 12:16],
+        absorption_strength=row[:, 16], emission_strength=row[:, 17],
+        smoothness=row[:, 18], specular=row[:, 19], ior=row[:, 20],
+        flag=row[:, 21].astype(jnp.int32),
+        diffuse_index=row[:, 22].astype(jnp.int32),
+        normal_index=row[:, 23].astype(jnp.int32),
+    )
 
 
 def _reflectance(cos_theta, ior):
@@ -197,7 +209,7 @@ def trace_batch(scene: RenderScene, origin, direction, seed, *,
                                  incoming + trans * environment_light(d), incoming)
         alive = alive & hit["hit"]
 
-        m = scene.materials.gather(hit["mat_id"])
+        m = _gather_material(scene, hit["mat_id"])
         is_glass = m["flag"] == GLASS
         normal = hit["normal"]
         backface = hit["backface"]
@@ -237,8 +249,7 @@ def trace_batch(scene: RenderScene, origin, direction, seed, *,
                                (m["smoothness"] * is_specular)[:, None]))
         incoming_n = incoming + emitted * trans
         textured = (m["flag"] == TEXTURE) & (m["diffuse_index"] != -1)
-        tex_color = sample_bilinear(scene.tex_texels, scene.tex_offset,
-                                    scene.tex_h, scene.tex_w,
+        tex_color = sample_bilinear(scene.tex_texels, scene.tex_meta,
                                     m["diffuse_index"], hit["uv"])
         color = jnp.where(textured[:, None], tex_color, m["color"])
         trans_n = trans * jnp.where(is_specular[:, None], m["specular_color"], color)

@@ -55,6 +55,86 @@ def _leaf_chunk(scene, origin, direction, tri_base, count, valid_leaf,
     return best_dst, best_tri, best_u, best_v
 
 
+def traverse_bvh_packed(scene: RenderScene, origin, direction, inv_dir,
+                        node_offset):
+    """Default traversal: stackless threaded walk over PACKED octant rows
+    (accel/packed.py) — exactly ONE gather per step. Leaf triangle slabs are
+    inline in the row, so leaves cost the same gather as internal nodes;
+    invalid slots carry degenerate zero-triangles that Möller–Trumbore
+    rejects via its determinant epsilon, so no per-slot masking is needed.
+
+    Returns dict: dst, tri (global index, -1 = miss), u, v, det, mat (B,),
+    stats (B, 2).
+    """
+    B = origin.shape[0]
+    n_nodes = scene.node_count.shape[0]
+
+    octant = ((direction[:, 0] < 0).astype(jnp.int32)
+              + 2 * (direction[:, 1] < 0).astype(jnp.int32)
+              + 4 * (direction[:, 2] < 0).astype(jnp.int32))
+    link_base = octant * n_nodes
+
+    init = dict(
+        cur=jnp.zeros((B,), jnp.int32) + node_offset,
+        best_dst=jnp.full((B,), INF),
+        best_tri=jnp.full((B,), -1, jnp.int32),
+        best_u=jnp.zeros((B,)), best_v=jnp.zeros((B,)),
+        best_det=jnp.zeros((B,)),
+        best_mat=jnp.zeros((B,), jnp.int32),
+        stats=jnp.zeros((B, 2), jnp.int32),
+    )
+
+    def cond(s):
+        return jnp.any(s["cur"] >= 0)
+
+    def body(s):
+        cur = s["cur"]
+        active = cur >= 0
+        safe = jnp.where(active, cur, node_offset)
+        row = jnp.take(scene.packed_rows, link_base + safe, axis=0)  # (B, 64)
+
+        d = ray_aabb_dist(origin, inv_dir, row[:, 0:3], row[:, 3:6],
+                          s["best_dst"])
+        box_hit = active & (d < INF)
+        count = row[:, 8]
+        is_leaf = count > 0.5
+
+        best_dst, best_tri = s["best_dst"], s["best_tri"]
+        best_u, best_v = s["best_u"], s["best_v"]
+        best_det, best_mat = s["best_det"], s["best_mat"]
+        first = row[:, 9].astype(jnp.int32)
+        for j in range(LEAF_CHUNK):
+            o = 18 + j * 9
+            cull = row[:, 14 + j] > 0.5
+            hit, dst, u, v, det = ray_triangle(
+                origin, direction, row[:, o:o + 3], row[:, o + 3:o + 6],
+                row[:, o + 6:o + 9], cull)
+            better = box_hit & hit & (dst < best_dst)
+            best_tri = jnp.where(better, first + j, best_tri)
+            best_u = jnp.where(better, u, best_u)
+            best_v = jnp.where(better, v, best_v)
+            best_det = jnp.where(better, det, best_det)
+            best_mat = jnp.where(better, row[:, 10 + j].astype(jnp.int32),
+                                 best_mat)
+            best_dst = jnp.where(better, dst, best_dst)
+
+        nxt = jnp.where(box_hit & ~is_leaf, row[:, 6], row[:, 7]).astype(jnp.int32)
+
+        stats = s["stats"]
+        stats = stats.at[:, 0].add(active.astype(jnp.int32))
+        stats = stats.at[:, 1].add(
+            jnp.where(box_hit & is_leaf, count.astype(jnp.int32), 0))
+
+        return dict(cur=jnp.where(active, nxt, cur), best_dst=best_dst,
+                    best_tri=best_tri, best_u=best_u, best_v=best_v,
+                    best_det=best_det, best_mat=best_mat, stats=stats)
+
+    out = jax.lax.while_loop(cond, body, init)
+    return dict(dst=out["best_dst"], tri=out["best_tri"], u=out["best_u"],
+                v=out["best_v"], det=out["best_det"], mat=out["best_mat"],
+                stats=out["stats"])
+
+
 def traverse_bvh(scene: RenderScene, origin, direction, inv_dir,
                  node_offset, tri_offset, cull_backface=None):
     """Stackless threaded closest-hit traversal for a batch of model-space

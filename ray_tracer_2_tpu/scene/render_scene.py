@@ -82,6 +82,12 @@ class RenderScene:
     link_hit: jax.Array          # (8, N) i32
     link_miss: jax.Array         # (8, N) i32
 
+    # Packed single-gather-per-step tables (accel/packed.py):
+    packed_rows: jax.Array       # (8*N, 64) f32 — octant node rows
+    tri_attr: jax.Array          # (T, 16) f32 — normals + uvs per triangle
+    mat_rows: jax.Array          # (K, 32) f32 — packed material records
+    tex_meta: jax.Array          # (64, 4) f32 — offset, h, w per texture slot
+
     materials: MaterialTable
 
     # Texture atlas (flat texel buffer + slot tables)
@@ -190,12 +196,17 @@ def instantiate_scene(definition: SceneDefinition,
 
     # ---- build per-group triangle soup + BVH ---------------------------
     from ray_tracer_2_tpu.accel.threading import compute_skip_links
+    from ray_tracer_2_tpu.accel.packed import pack_octant_rows
+
+    # Per-material backface-cull flag (cull unless GLASS — ray_tracer.wgsl:358,375)
+    mat_flags = np.array([r.flag for r in records] or [0], np.int32)
 
     inst_w2m, inst_m2w, inst_node_off, inst_tri_off = [], [], [], []
     tri_arrays = {k: [] for k in
                   ("v0", "v1", "v2", "n0", "n1", "n2", "uv0", "uv1", "uv2", "mat")}
     node_arrays = {k: [] for k in ("min", "max", "left", "right", "first",
                                    "count", "lhit", "lmiss")}
+    packed_groups = []
     bvh_stats = []
     tri_cursor = 0
     node_cursor = 0
@@ -213,6 +224,10 @@ def instantiate_scene(definition: SceneDefinition,
         node_arrays["lmiss"].append(
             np.where(lmiss >= 0, lmiss + node_cursor, -1).astype(np.int32))
         o = bvh.tri_order
+        cull = (mat_flags[mats[o]] != 1).astype(np.float32)
+        packed_groups.append(pack_octant_rows(
+            bvh, v0[o], v1[o], v2[o], mats[o], cull,
+            node_offset=node_cursor, tri_offset=tri_cursor))
         tri_arrays["v0"].append(v0[o]); tri_arrays["v1"].append(v1[o])
         tri_arrays["v2"].append(v2[o])
         tri_arrays["n0"].append(n0[o]); tri_arrays["n1"].append(n1[o])
@@ -269,8 +284,20 @@ def instantiate_scene(definition: SceneDefinition,
         sphere_radius = np.zeros(0, np.float32)
         sphere_mat = np.zeros(0, np.int32)
 
+    # Packed octant rows: concat groups along the node axis, flatten octants.
+    from ray_tracer_2_tpu.accel.packed import ROW_WIDTH, pack_tri_attributes
+    if packed_groups:
+        packed = np.concatenate(packed_groups, axis=1).reshape(-1, ROW_WIDTH)
+    else:
+        packed = np.zeros((0, ROW_WIDTH), np.float32)
+    tri_attr = pack_tri_attributes(tri["n0"], tri["n1"], tri["n2"],
+                                   tri["uv0"], tri["uv1"], tri["uv2"])
+
     atlas = TextureAtlas.from_images(assets.texture_images())
     table = MaterialTable.from_records(records)
+    mat_rows = _pack_material_rows(records)
+    tex_meta = np.stack([atlas.offsets, atlas.heights, atlas.widths,
+                         np.zeros_like(atlas.offsets)], axis=1).astype(np.float32)
     cam_u = definition.camera.to_uniform()
 
     rs = RenderScene(
@@ -294,6 +321,10 @@ def instantiate_scene(definition: SceneDefinition,
         node_left=jnp.asarray(nodes["left"]), node_right=jnp.asarray(nodes["right"]),
         node_first=jnp.asarray(nodes["first"]), node_count=jnp.asarray(nodes["count"]),
         link_hit=jnp.asarray(nodes["lhit"]), link_miss=jnp.asarray(nodes["lmiss"]),
+        packed_rows=jnp.asarray(packed),
+        tri_attr=jnp.asarray(tri_attr),
+        mat_rows=jnp.asarray(mat_rows),
+        tex_meta=jnp.asarray(tex_meta),
         materials=table,
         tex_texels=jnp.asarray(atlas.texels),
         tex_offset=jnp.asarray(atlas.offsets),
@@ -315,6 +346,30 @@ def instantiate_scene(definition: SceneDefinition,
         n_triangles=n_tris,
         n_nodes=rs.n_nodes,
     )
+
+
+#: Packed material-row layout (see kernels/trace.py MatRow):
+#: 0:4 color, 4:8 emission_color, 8:12 specular_color, 12:16 absorption,
+#: 16 absorption_strength, 17 emission_strength, 18 smoothness, 19 specular,
+#: 20 ior, 21 flag, 22 diffuse_index, 23 normal_index, 24:32 pad
+def _pack_material_rows(records: list[MaterialRecord]) -> np.ndarray:
+    if not records:
+        records = [MaterialRecord()]
+    rows = np.zeros((len(records), 32), np.float32)
+    for i, r in enumerate(records):
+        rows[i, 0:4] = r.color
+        rows[i, 4:8] = r.emission_color
+        rows[i, 8:12] = r.specular_color
+        rows[i, 12:16] = r.absorption
+        rows[i, 16] = r.absorption_strength
+        rows[i, 17] = r.emission_strength
+        rows[i, 18] = r.smoothness
+        rows[i, 19] = r.specular
+        rows[i, 20] = r.ior
+        rows[i, 21] = float(r.flag)
+        rows[i, 22] = float(r.diffuse_index)
+        rows[i, 23] = float(r.normal_index)
+    return rows
 
 
 def _concat_soup(parts: list[tuple[MeshData, int]]):

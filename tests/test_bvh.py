@@ -130,3 +130,36 @@ def test_skiplink_equals_stack_traversal():
     np.testing.assert_array_equal(np.asarray(a["tri"]), np.asarray(b["tri"]))
     np.testing.assert_allclose(np.asarray(a["dst"]), np.asarray(b["dst"]),
                                rtol=1e-6)
+
+
+def test_native_matches_numpy_semantics():
+    """The C++ builder must produce a valid tree with equivalent quality and
+    identical traversal results."""
+    from ray_tracer_2_tpu.accel import native
+    if native.get_lib() is None:
+        pytest.skip("native builder unavailable")
+    from ray_tracer_2_tpu.kernels.traverse import traverse_bvh
+    import jax.numpy as jnp
+
+    v0, v1, v2 = random_soup(5000, seed=9)
+    b_np = build_bvh(v0, v1, v2, use_native=False)
+    b_cc = build_bvh(v0, v1, v2, use_native=True)
+    assert sorted(b_cc.tri_order.tolist()) == list(range(5000))
+    assert abs(b_cc.n_nodes - b_np.n_nodes) / b_np.n_nodes < 0.05
+    leaves = b_cc.node_count > 0
+    assert b_cc.node_count[leaves].max() <= 4
+
+    r = np.random.default_rng(2)
+    B = 64
+    origin = r.uniform(-8, 8, (B, 3)).astype(np.float32)
+    direction = r.normal(size=(B, 3)).astype(np.float32)
+    direction /= np.linalg.norm(direction, axis=1, keepdims=True)
+    res_a = traverse_bvh(_scene_stub(v0, v1, v2, b_np), jnp.asarray(origin),
+                         jnp.asarray(direction), jnp.asarray(1.0 / direction),
+                         jnp.int32(0), jnp.int32(0))
+    res_b = traverse_bvh(_scene_stub(v0, v1, v2, b_cc), jnp.asarray(origin),
+                         jnp.asarray(direction), jnp.asarray(1.0 / direction),
+                         jnp.int32(0), jnp.int32(0))
+    # same closest distances (tri indices may differ across orderings)
+    np.testing.assert_allclose(np.asarray(res_a["dst"]),
+                               np.asarray(res_b["dst"]), rtol=1e-5)
