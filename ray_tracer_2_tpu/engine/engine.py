@@ -78,6 +78,9 @@ class Engine:
         self.timing = FrameTiming()
         self.stats = FrameStats()
         self._frame_counter = 0
+        self._last_render_s = 0.0
+        self._last_params = self.params
+        self._scene_for_stats = None
         if initial_scene is not None:
             if block_on_initial_scene:
                 self.scene_manager.load_blocking(initial_scene)
@@ -86,9 +89,17 @@ class Engine:
 
     # ------------------------------------------------------------ frame
 
-    def update(self, dt: float | None = None, is_moving: bool = False):
+    def update(self, dt: float | None = None, is_moving: bool = False,
+               sync: bool = False):
         """One frame: poll scene loads → camera → params protocol → render.
-        Returns the device framebuffer (None while no scene is loaded)."""
+        Returns the device framebuffer (None while no scene is loaded).
+
+        Dispatch is ASYNC by default: the call returns as soon as the frame
+        is enqueued, so host work (input, streaming, the next frame's params)
+        overlaps device compute — the TPU analog of the reference's separate
+        UI/render threads (README.md:5). ``sync=True`` blocks for exact
+        per-frame timing.
+        """
         if dt is None:
             dt = self.timing.tick()
         else:
@@ -113,15 +124,29 @@ class Engine:
 
         t0 = time.perf_counter()
         fb = self.renderer.render(scene.render_scene, render_params)
-        fb.block_until_ready()
+        if sync:
+            fb.block_until_ready()
         render_s = time.perf_counter() - t0
 
         self._frame_counter += 1
+        self._last_render_s = render_s if sync else dt
+        self._last_params = render_params
+        self._scene_for_stats = scene
+        return fb
+
+    @property
+    def stats(self) -> FrameStats:
+        """Live metrics; reading syncs on the last frame's segment counter
+        (cheap: a scalar transfer once the frame has drained)."""
+        scene = getattr(self, "_scene_for_stats", None)
+        if scene is None:
+            return self._stats
         segs = self.renderer.last_segments
+        p = self._last_params
         rays = (float(segs) if segs is not None else
-                render_params.width * render_params.height
-                * max(render_params.rays_per_pixel, 1))
-        self.stats = FrameStats(
+                p.width * p.height * max(p.rays_per_pixel, 1))
+        render_s = max(self._last_render_s, 1e-9)
+        self._stats = FrameStats(
             frame=self._frame_counter,
             fps=self.timing.fps,
             frame_time_ms=render_s * 1e3,
@@ -130,7 +155,11 @@ class Engine:
             bvh_nodes=scene.n_nodes,
             bvh_triangles=scene.n_triangles,
         )
-        return fb
+        return self._stats
+
+    @stats.setter
+    def stats(self, value) -> None:
+        self._stats = value
 
     # ------------------------------------------------------- UI actions
     # Hotkey analogs (app.rs:172-272): Q next scene, E cycle debug mode,
