@@ -16,8 +16,10 @@ def sample_bilinear(texels, tex_meta, slot, uv):
     rows (one gather resolves all slot metadata); slot: (B,) int32 (clamped
     to >= 0 by the caller's mask); uv: (B, 2). Returns (B, 4).
     """
+    from ray_tracer_2_tpu.kernels.gatherlib import fetch_rows
+
     slot = jnp.maximum(slot, 0)
-    meta = jnp.take(tex_meta, slot, axis=0)
+    meta = fetch_rows(tex_meta, slot)
     off = meta[:, 0].astype(jnp.int32)
     h = meta[:, 1].astype(jnp.int32)
     w = meta[:, 2].astype(jnp.int32)

@@ -21,6 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from ray_tracer_2_tpu import rng
+from ray_tracer_2_tpu.kernels.gatherlib import fetch_rows
 from ray_tracer_2_tpu.kernels.intersect import (
     INF, ray_sphere, sphere_normal_uv,
 )
@@ -71,16 +72,19 @@ def compute_hit(scene: RenderScene, origin, direction, inv_dir):
     mat_id = jnp.zeros((B,), jnp.int32)
     stats = jnp.zeros((B, 2), jnp.int32)
 
-    # ---- spheres: broadcast (B, S) -----------------------------------
+    # ---- spheres: broadcast (B, S), winner via one-hot reduce ---------
     if scene.n_spheres > 0:
+        S = scene.n_spheres
         s_hit, s_dst, s_inside = ray_sphere(
             origin[:, None, :], direction[:, None, :],
             scene.sphere_pos[None, :, :], scene.sphere_radius[None, :])
         idx = jnp.argmin(s_dst, axis=1)
-        dst = jnp.take_along_axis(s_dst, idx[:, None], axis=1)[:, 0]
-        inside = jnp.take_along_axis(s_inside, idx[:, None], axis=1)[:, 0]
-        won = jnp.take_along_axis(s_hit, idx[:, None], axis=1)[:, 0] & (dst < best_dst)
-        centre = jnp.take(scene.sphere_pos, idx, axis=0)
+        is_win = jnp.arange(S, dtype=jnp.int32)[None, :] == idx[:, None]
+        dst = jnp.sum(jnp.where(is_win, s_dst, 0.0), axis=1)
+        inside = jnp.any(is_win & s_inside, axis=1)
+        won = jnp.any(is_win & s_hit, axis=1) & (dst < best_dst)
+        centre = jnp.dot(is_win.astype(jnp.float32), scene.sphere_pos,
+                         precision=jax.lax.Precision.HIGHEST)
         hp = origin + direction * dst[:, None]
         n, s_uv = sphere_normal_uv(hp, centre, inside)
         best_dst = jnp.where(won, dst, best_dst)
@@ -89,10 +93,13 @@ def compute_hit(scene: RenderScene, origin, direction, inv_dir):
         normal = jnp.where(won[:, None], n, normal)
         uv = jnp.where(won[:, None], s_uv, uv)
         backface = jnp.where(won, inside, backface)
-        mat_id = jnp.where(won, jnp.take(scene.sphere_mat, idx), mat_id)
+        s_mat = jnp.sum(jnp.where(is_win, scene.sphere_mat[None, :], 0), axis=1)
+        mat_id = jnp.where(won, s_mat, mat_id)
 
-    # ---- instance-group BVHs (ray_tracer.wgsl:369-393) ---------------
+    # ---- instance groups (ray_tracer.wgsl:369-393): brute-force the small
+    # ones (zero gathers), BVH-traverse the big ones ---------------------
     if scene.n_instances > 0:
+        from ray_tracer_2_tpu.kernels.brute import BRUTE_MAX_TRIS, brute_force_intersect
         from ray_tracer_2_tpu.kernels.traverse import traverse_bvh_packed
 
         m_tri = jnp.full((B,), -1, jnp.int32)
@@ -104,13 +111,16 @@ def compute_hit(scene: RenderScene, origin, direction, inv_dir):
         m_point = point
         m_dst = jnp.full((B,), INF)
         for i in range(scene.n_instances):
+            node_off, tri_off, tri_count = scene.inst_spans[i]
             w2m = scene.inst_world_to_model[i]
             m2w = scene.inst_model_to_world[i]
             o_m = _mat4_apply(w2m, origin, 1)
             d_raw = _mat4_apply(w2m, direction, 0)
             d_m = normalize(d_raw)
-            res = traverse_bvh_packed(scene, o_m, d_m, 1.0 / d_m,
-                                      scene.inst_node_offset[i])
+            if tri_count <= BRUTE_MAX_TRIS:
+                res = brute_force_intersect(scene, o_m, d_m, tri_off, tri_count)
+            else:
+                res = traverse_bvh_packed(scene, o_m, d_m, 1.0 / d_m, node_off)
             stats = stats + res["stats"]
             got = res["tri"] >= 0
             local_hp = o_m + d_m * res["dst"][:, None]
@@ -129,7 +139,7 @@ def compute_hit(scene: RenderScene, origin, direction, inv_dir):
         mesh_better = (m_tri >= 0) & (m_dst < best_dst)
         # Winner attributes: one packed row (normals+uvs), one matrix gather.
         safe_tri = jnp.maximum(m_tri, 0)
-        attr = jnp.take(scene.tri_attr, safe_tri, axis=0)  # (B, 16)
+        attr = fetch_rows(scene.tri_attr, safe_tri)  # (B, 16)
         m2w_sel = jnp.take(scene.inst_model_to_world, m_inst, axis=0)
         det = m_det
         w_bar = 1.0 - m_u - m_v
@@ -153,9 +163,10 @@ def compute_hit(scene: RenderScene, origin, direction, inv_dir):
 
 
 def _gather_material(scene: RenderScene, mat_id):
-    """One packed-row gather resolves every material field for shading
-    (layout: render_scene._pack_material_rows)."""
-    row = jnp.take(scene.mat_rows, mat_id, axis=0)  # (B, 32)
+    """One packed-row fetch resolves every material field for shading
+    (layout: render_scene._pack_material_rows; MXU one-hot for the usual
+    small tables)."""
+    row = fetch_rows(scene.mat_rows, mat_id)  # (B, 32)
     return dict(
         color=row[:, 0:4], emission_color=row[:, 4:8],
         specular_color=row[:, 8:12], absorption=row[:, 12:16],

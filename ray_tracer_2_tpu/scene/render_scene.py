@@ -102,6 +102,11 @@ class RenderScene:
     defocus_strength: jax.Array  # () f32
     diverge_strength: jax.Array  # () f32
 
+    #: STATIC per-instance (node_offset, tri_offset, tri_count) — lets the
+    #: kernel choose brute-force vs BVH per instance at trace time.
+    inst_spans: tuple = dataclasses.field(metadata=dict(static=True),
+                                          default=())
+
     @property
     def n_spheres(self) -> int:
         return self.sphere_pos.shape[0]
@@ -132,7 +137,12 @@ class RenderScene:
 @dataclasses.dataclass
 class HostScene:
     """Host-side scene state: mutable camera + staging data + device pytree
-    (ref ``Scene``, scene.rs:148-156)."""
+    (ref ``Scene``, scene.rs:148-156).
+
+    Live edits (the egui inspector's property editors, egui.rs:156-365)
+    update only the affected device arrays — the reference re-uploads the
+    whole scene every frame instead (ray_tracer.rs:397-419).
+    """
 
     camera: Camera
     render_scene: RenderScene
@@ -141,9 +151,75 @@ class HostScene:
     n_instances: int
     n_triangles: int
     n_nodes: int
+    #: per-entity material records (mutable; one row per entity)
+    records: list = dataclasses.field(default_factory=list)
+    #: per-group staging for cull-flag repacks: (bvh, v0, v1, v2, mats,
+    #: node_offset, tri_offset) with leaf-ordered arrays
+    _staging: list = dataclasses.field(default_factory=list)
 
     def refresh_camera(self) -> None:
         self.render_scene = self.render_scene.with_camera(self.camera)
+
+    # ------------------------------------------------------- live edits
+
+    def edit_sphere(self, index: int, centre=None, radius=None) -> None:
+        """Move/resize a sphere (egui.rs:171-207)."""
+        rs = self.render_scene
+        if centre is not None:
+            rs = dataclasses.replace(rs, sphere_pos=rs.sphere_pos.at[index].set(
+                jnp.asarray(centre, jnp.float32)))
+        if radius is not None:
+            rs = dataclasses.replace(
+                rs, sphere_radius=rs.sphere_radius.at[index].set(float(radius)))
+        self.render_scene = rs
+
+    def edit_material(self, mat_id: int, **fields) -> None:
+        """Edit one entity's material (egui.rs:209-365). Changing ``flag``
+        (glass toggle) also refreshes the baked backface-cull flags in the
+        packed traversal rows."""
+        rec = self.records[mat_id]
+        flag_before = rec.flag
+        for k, v in fields.items():
+            setattr(rec, k, tuple(v) if isinstance(v, (list, np.ndarray)) else v)
+        rs = self.render_scene
+        row = jnp.asarray(_pack_material_rows([rec])[0])
+        rs = dataclasses.replace(rs, mat_rows=rs.mat_rows.at[mat_id].set(row))
+        table = MaterialTable.from_records(self.records)
+        rs = dataclasses.replace(rs, materials=table)
+        self.render_scene = rs
+        if rec.flag != flag_before:
+            self._repack_cull_flags()
+
+    def edit_instance_transform(self, index: int, transform) -> None:
+        """Move/rotate/scale a whole instance group (egui.rs:280-330 mesh
+        transform editor)."""
+        m = transform.to_matrix()
+        inv = np.linalg.inv(m.astype(np.float64)).astype(np.float32)
+        rs = self.render_scene
+        rs = dataclasses.replace(
+            rs,
+            inst_model_to_world=rs.inst_model_to_world.at[index].set(
+                jnp.asarray(m)),
+            inst_world_to_model=rs.inst_world_to_model.at[index].set(
+                jnp.asarray(inv)),
+        )
+        self.render_scene = rs
+
+    def _repack_cull_flags(self) -> None:
+        from ray_tracer_2_tpu.accel.packed import ROW_WIDTH, pack_octant_rows
+
+        mat_flags = np.array([r.flag for r in self.records] or [0], np.int32)
+        groups = []
+        for (bvh, v0, v1, v2, mats, node_off, tri_off) in self._staging:
+            cull = (mat_flags[mats] != 1).astype(np.float32)
+            groups.append(pack_octant_rows(bvh, v0, v1, v2, mats, cull,
+                                           node_offset=node_off,
+                                           tri_offset=tri_off))
+        if not groups:
+            return
+        packed = np.concatenate(groups, axis=1).reshape(-1, ROW_WIDTH)
+        self.render_scene = dataclasses.replace(
+            self.render_scene, packed_rows=jnp.asarray(packed))
 
 
 def instantiate_scene(definition: SceneDefinition,
@@ -156,16 +232,13 @@ def instantiate_scene(definition: SceneDefinition,
         assets = AssetManager()
 
     records: list[MaterialRecord] = []
-    record_ids: dict[tuple, int] = {}
 
     def mat_id(rec: MaterialRecord) -> int:
-        key = (rec.color, rec.emission_color, rec.specular_color, rec.absorption,
-               rec.absorption_strength, rec.emission_strength, rec.smoothness,
-               rec.specular, rec.ior, rec.flag, rec.diffuse_index, rec.normal_index)
-        if key not in record_ids:
-            record_ids[key] = len(records)
-            records.append(rec)
-        return record_ids[key]
+        # One row per entity/submesh — matches the reference's inline
+        # per-primitive materials (sphere.rs:8, mesh.rs:55) so live edits
+        # (egui.rs:156-365) affect exactly one entity.
+        records.append(rec)
+        return len(records) - 1
 
     spheres: list[tuple[np.ndarray, float, int]] = []
     # (transform_matrix_key) -> [(MeshData, mat_id)]
@@ -202,11 +275,13 @@ def instantiate_scene(definition: SceneDefinition,
     mat_flags = np.array([r.flag for r in records] or [0], np.int32)
 
     inst_w2m, inst_m2w, inst_node_off, inst_tri_off = [], [], [], []
+    inst_counts = []
     tri_arrays = {k: [] for k in
                   ("v0", "v1", "v2", "n0", "n1", "n2", "uv0", "uv1", "uv2", "mat")}
     node_arrays = {k: [] for k in ("min", "max", "left", "right", "first",
                                    "count", "lhit", "lmiss")}
     packed_groups = []
+    staging = []
     bvh_stats = []
     tri_cursor = 0
     node_cursor = 0
@@ -228,6 +303,8 @@ def instantiate_scene(definition: SceneDefinition,
         packed_groups.append(pack_octant_rows(
             bvh, v0[o], v1[o], v2[o], mats[o], cull,
             node_offset=node_cursor, tri_offset=tri_cursor))
+        staging.append((bvh, v0[o], v1[o], v2[o], mats[o],
+                        node_cursor, tri_cursor))
         tri_arrays["v0"].append(v0[o]); tri_arrays["v1"].append(v1[o])
         tri_arrays["v2"].append(v2[o])
         tri_arrays["n0"].append(n0[o]); tri_arrays["n1"].append(n1[o])
@@ -247,6 +324,7 @@ def instantiate_scene(definition: SceneDefinition,
         inst_w2m.append(np.linalg.inv(m.astype(np.float64)).astype(np.float32))
         inst_node_off.append(node_cursor)
         inst_tri_off.append(tri_cursor)
+        inst_counts.append(len(v0))
         tri_cursor += len(v0)
         node_cursor += bvh.n_nodes
 
@@ -310,6 +388,9 @@ def instantiate_scene(definition: SceneDefinition,
             np.stack(inst_m2w) if inst_m2w else np.zeros((0, 4, 4), np.float32)),
         inst_node_offset=jnp.asarray(np.array(inst_node_off, np.int32)),
         inst_tri_offset=jnp.asarray(np.array(inst_tri_off, np.int32)),
+        inst_spans=tuple(
+            (int(n), int(t), int(c))
+            for n, t, c in zip(inst_node_off, inst_tri_off, inst_counts)),
         tri_v0=jnp.asarray(tri["v0"]), tri_v1=jnp.asarray(tri["v1"]),
         tri_v2=jnp.asarray(tri["v2"]),
         tri_n0=jnp.asarray(tri["n0"]), tri_n1=jnp.asarray(tri["n1"]),
@@ -345,6 +426,8 @@ def instantiate_scene(definition: SceneDefinition,
         n_instances=rs.n_instances,
         n_triangles=n_tris,
         n_nodes=rs.n_nodes,
+        records=records,
+        _staging=staging,
     )
 
 
