@@ -370,8 +370,13 @@ def debug_trace_pixels(scene: RenderScene, x, y, *, width: int, height: int,
         return jnp.stack([v, v, v, ones], axis=-1)
 
     mode = int(debug_mode)
-    if mode == 1:  # normals
-        n = hit["normal"] * 0.5 + 0.5
+    if mode == 1:  # normals (normal-map texel preview when mapped,
+        # ray_tracer.wgsl:542-548 — note 0.5*(2x-1)+0.5 ≡ x)
+        m = _gather_material(scene, hit["mat_id"])
+        mapped = (m["flag"] == TEXTURE) & (m["normal_index"] != -1)
+        tex = sample_bilinear(scene.tex_texels, scene.tex_meta,
+                              m["normal_index"], hit["uv"])
+        n = jnp.where(mapped[:, None], tex[:, :3], hit["normal"] * 0.5 + 0.5)
         out = jnp.concatenate([n, ones[:, None]], axis=1)
         return jnp.where(hit_mask, out, zeros4)
     if mode == 2:  # depth

@@ -98,6 +98,40 @@ class ViewerServer:
         for name, value in (msg.get("set") or {}).items():
             self._set_param(name, value)
 
+        edit = msg.get("edit_entity")
+        if edit is not None:
+            self._edit_entity(edit)
+
+    def _edit_entity(self, edit: dict) -> None:
+        """Selected-entity property editing (egui.rs:156-365): sphere
+        position/radius and material fields; edits reset accumulation."""
+        scene = self.engine.scene_manager.scene
+        if scene is None:
+            return
+        kind = edit.get("kind")
+        idx = int(edit.get("index", 0))
+        if kind == "sphere" and 0 <= idx < scene.n_spheres:
+            if "centre" in edit or "radius" in edit:
+                scene.edit_sphere(idx, centre=edit.get("centre"),
+                                  radius=edit.get("radius"))
+            mat_fields = {k: v for k, v in edit.items()
+                          if k in ("color", "emission_color", "specular_color",
+                                   "emission_strength", "smoothness",
+                                   "specular", "ior", "flag")}
+            if mat_fields:
+                import numpy as np
+                mid = int(np.asarray(scene.render_scene.sphere_mat)[idx])
+                scene.edit_material(mid, **mat_fields)
+        elif kind == "instance" and 0 <= idx < scene.n_instances:
+            if "transform_pos" in edit or "transform_scale" in edit:
+                from ray_tracer_2_tpu.math.transform import Transform
+                import numpy as np
+                cur = np.asarray(
+                    scene.render_scene.inst_model_to_world[idx])
+                pos = edit.get("transform_pos", cur[:3, 3].tolist())
+                scene.edit_instance_transform(idx, Transform(pos=pos))
+        self.engine.params = dataclasses.replace(self.engine.params, frames=-1)
+
     def _hotkey(self, key: str) -> None:
         eng = self.engine
         if key == "q":
