@@ -193,24 +193,27 @@ def trace_batch(scene: RenderScene, origin, direction, seed, *,
     Mrays/s accounting."""
     B = origin.shape[0]
     direction = normalize(direction)
-    state = dict(
-        i=jnp.int32(0),
-        origin=origin,
-        direction=direction,
-        transmittance=jnp.ones((B, 4)),
-        incoming=jnp.zeros((B, 4)),
-        seed=seed,
-        alive=jnp.ones((B,), bool),
-        segments=jnp.zeros((B,), jnp.int32),
-    )
+    # State fused into two packed carries + the bounce counter
+    # (docs/PERF_NOTES.md: every separate carry costs ~25 us/iteration):
+    #   F (B, 14) f32: origin3 | direction3 | transmittance4 | incoming4
+    #   I (B, 4) i32: seed bits | alive | segments | pad
+    F0 = jnp.concatenate([origin, direction, jnp.ones((B, 4)),
+                          jnp.zeros((B, 4))], axis=1)
+    I0 = jnp.stack([jax.lax.bitcast_convert_type(seed, jnp.int32),
+                    jnp.ones((B,), jnp.int32), jnp.zeros((B,), jnp.int32),
+                    jnp.zeros((B,), jnp.int32)], axis=1)
 
-    def cond(s):
-        return (s["i"] <= bounces) & jnp.any(s["alive"])
+    def cond(state):
+        i, _, I = state
+        return (i <= bounces) & jnp.any(I[:, 1] > 0)
 
-    def body(s):
-        alive = s["alive"]
-        o, d, seed = s["origin"], s["direction"], s["seed"]
-        trans, incoming = s["transmittance"], s["incoming"]
+    def body(state):
+        i, F, I = state
+        o, d = F[:, 0:3], F[:, 3:6]
+        trans, incoming = F[:, 6:10], F[:, 10:14]
+        seed = jax.lax.bitcast_convert_type(I[:, 0], jnp.uint32)
+        alive = I[:, 1] > 0
+        segments = I[:, 2]
         hit = compute_hit(scene, o, d, 1.0 / d)
 
         # Miss: environment light, then die (ray_tracer.wgsl:406-412).
@@ -281,19 +284,23 @@ def trace_batch(scene: RenderScene, origin, direction, seed, *,
 
         # Only live rays advance their state/seed.
         live = alive[:, None]
-        return dict(
-            i=s["i"] + 1,
-            origin=jnp.where(live, new_origin, o),
-            direction=jnp.where(live, new_dir, d),
-            transmittance=jnp.where(live, new_trans, trans),
-            incoming=new_incoming,
-            seed=jnp.where(alive, new_seed, seed),
-            alive=alive & survive,
-            segments=s["segments"] + s["alive"].astype(jnp.int32),
-        )
+        F_new = jnp.concatenate([
+            jnp.where(live, new_origin, o),
+            jnp.where(live, new_dir, d),
+            jnp.where(live, new_trans, trans),
+            new_incoming], axis=1)
+        I_new = jnp.stack([
+            jax.lax.bitcast_convert_type(
+                jnp.where(alive, new_seed, seed), jnp.int32),
+            (alive & survive).astype(jnp.int32),
+            segments + alive.astype(jnp.int32),
+            I[:, 3]], axis=1)
+        return i + 1, F_new, I_new
 
-    out = jax.lax.while_loop(cond, body, state)
-    return out["incoming"], out["seed"], out["segments"]
+    _, F, I = jax.lax.while_loop(cond, body, (jnp.int32(0), F0, I0))
+    return (F[:, 10:14],
+            jax.lax.bitcast_convert_type(I[:, 0], jnp.uint32),
+            I[:, 2])
 
 
 def camera_ray_basis(scene: RenderScene, x, y, width: int, height: int):

@@ -74,34 +74,35 @@ def traverse_bvh_packed(scene: RenderScene, origin, direction, inv_dir,
               + 4 * (direction[:, 2] < 0).astype(jnp.int32))
     link_base = octant * n_nodes
 
-    init = dict(
-        cur=jnp.zeros((B,), jnp.int32) + node_offset,
-        best_dst=jnp.full((B,), INF),
-        best_tri=jnp.full((B,), -1, jnp.int32),
-        best_u=jnp.zeros((B,)), best_v=jnp.zeros((B,)),
-        best_det=jnp.zeros((B,)),
-        best_mat=jnp.zeros((B,), jnp.int32),
-        stats=jnp.zeros((B, 2), jnp.int32),
-    )
+    # Loop state fused into TWO packed carries (each extra carry costs
+    # ~25 us/iteration on TPU — docs/PERF_NOTES.md):
+    #   sf (B, 4) f32: [best_dst, u, v, det]
+    #   si (B, 8) i32: [cur, best_tri, best_mat, stat_nodes, stat_tris, pad..]
+    sf0 = jnp.concatenate([
+        jnp.full((B, 1), INF), jnp.zeros((B, 3))], axis=1)
+    si0 = jnp.concatenate([
+        (jnp.zeros((B, 1), jnp.int32) + node_offset),
+        jnp.full((B, 1), -1, jnp.int32),
+        jnp.zeros((B, 6), jnp.int32)], axis=1)
 
     def cond(s):
-        return jnp.any(s["cur"] >= 0)
+        return jnp.any(s[1][:, 0] >= 0)
 
     def body(s):
-        cur = s["cur"]
+        sf, si = s
+        cur = si[:, 0]
         active = cur >= 0
         safe = jnp.where(active, cur, node_offset)
         row = jnp.take(scene.packed_rows, link_base + safe, axis=0)  # (B, 64)
 
-        d = ray_aabb_dist(origin, inv_dir, row[:, 0:3], row[:, 3:6],
-                          s["best_dst"])
+        best_dst = sf[:, 0]
+        d = ray_aabb_dist(origin, inv_dir, row[:, 0:3], row[:, 3:6], best_dst)
         box_hit = active & (d < INF)
         count = row[:, 8]
         is_leaf = count > 0.5
 
-        best_dst, best_tri = s["best_dst"], s["best_tri"]
-        best_u, best_v = s["best_u"], s["best_v"]
-        best_det, best_mat = s["best_det"], s["best_mat"]
+        best_u, best_v, best_det = sf[:, 1], sf[:, 2], sf[:, 3]
+        best_tri, best_mat = si[:, 1], si[:, 2]
         first = row[:, 9].astype(jnp.int32)
         for j in range(LEAF_CHUNK):
             o = 18 + j * 9
@@ -120,19 +121,18 @@ def traverse_bvh_packed(scene: RenderScene, origin, direction, inv_dir,
 
         nxt = jnp.where(box_hit & ~is_leaf, row[:, 6], row[:, 7]).astype(jnp.int32)
 
-        stats = s["stats"]
-        stats = stats.at[:, 0].add(active.astype(jnp.int32))
-        stats = stats.at[:, 1].add(
-            jnp.where(box_hit & is_leaf, count.astype(jnp.int32), 0))
+        sf = jnp.stack([best_dst, best_u, best_v, best_det], axis=1)
+        si = jnp.stack([
+            jnp.where(active, nxt, cur), best_tri, best_mat,
+            si[:, 3] + active.astype(jnp.int32),
+            si[:, 4] + jnp.where(box_hit & is_leaf,
+                                 count.astype(jnp.int32), 0),
+            si[:, 5], si[:, 6], si[:, 7]], axis=1)
+        return sf, si
 
-        return dict(cur=jnp.where(active, nxt, cur), best_dst=best_dst,
-                    best_tri=best_tri, best_u=best_u, best_v=best_v,
-                    best_det=best_det, best_mat=best_mat, stats=stats)
-
-    out = jax.lax.while_loop(cond, body, init)
-    return dict(dst=out["best_dst"], tri=out["best_tri"], u=out["best_u"],
-                v=out["best_v"], det=out["best_det"], mat=out["best_mat"],
-                stats=out["stats"])
+    sf, si = jax.lax.while_loop(cond, body, (sf0, si0))
+    return dict(dst=sf[:, 0], tri=si[:, 1], u=sf[:, 1], v=sf[:, 2],
+                det=sf[:, 3], mat=si[:, 2], stats=si[:, 3:5])
 
 
 def traverse_bvh(scene: RenderScene, origin, direction, inv_dir,
