@@ -103,7 +103,41 @@ def synthesize_dragon_80k(assets) -> list:
     return [(data, MaterialRecord(), f"{label}_80k")]
 
 
+def synthesize_sponza(assets) -> list:
+    """Procedural colonnaded atrium with the REAL sponza.mtl materials and
+    textures (assets/sponza_builder.py) — a ~150k-triangle multi-material
+    substitute for the absent sponza.obj."""
+    from ray_tracer_2_tpu.assets.manager import material_from_mtl
+    from ray_tracer_2_tpu.assets.obj import load_mtl
+    from ray_tracer_2_tpu.assets.sponza_builder import build_atrium
+    from ray_tracer_2_tpu.scene.definition import MeshData
+    from ray_tracer_2_tpu.scene.material import MaterialRecord
+
+    try:
+        mtl = load_mtl(assets.resolve("sponza.mtl"))
+    except Exception:
+        mtl = {}
+
+    parts = []
+    for mat_name, pos, nrm, uv in build_atrium():
+        m = mtl.get(mat_name)
+        if m is not None:
+            diffuse_index = -1
+            if m.map_kd:
+                try:
+                    diffuse_index = assets.load_texture(m.map_kd)
+                except FileNotFoundError:
+                    diffuse_index = -1
+            rec = material_from_mtl(m, diffuse_index, -1)
+        else:
+            rec = MaterialRecord()
+        parts.append((MeshData.from_vertices(pos, nrm, uv), rec,
+                      f"sponza_{mat_name}"))
+    return parts
+
+
 #: rel_path -> synthesizer(assets) -> list[(MeshData, MaterialRecord, label)]
 SYNTHESIZERS = {
     "Dragon_80K.obj": synthesize_dragon_80k,
+    "sponza.obj": synthesize_sponza,
 }

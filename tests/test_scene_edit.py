@@ -65,3 +65,16 @@ def test_instance_transform_edit():
     host.edit_instance_transform(0, Transform(pos=[0.0, 10.0, 0.0]))
     after = render(host.render_scene)
     assert not np.allclose(before, after)
+
+
+def test_sponza_substitute_loads(assets):
+    """The procedural sponza substitute completes the 7-scene list with the
+    real sponza.mtl materials + textures."""
+    from tests.conftest import require_asset
+    require_asset(assets, "sponza.mtl")
+    host = instantiate_scene(scenes.sponza())
+    assert host.n_triangles > 20000
+    assert len(host.records) >= 10
+    # textured materials resolved to atlas slots
+    import numpy as np
+    assert (np.asarray(host.render_scene.materials.diffuse_index) >= 0).sum() >= 8
