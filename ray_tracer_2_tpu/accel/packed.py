@@ -3,21 +3,24 @@
 TPU random gathers are latency-bound per ROW, and a row of up to 128 lanes
 costs the same as one float (the hardware fetches a full tile either way).
 So the traversal's entire working set for one step is packed into a single
-64-float row per (octant, node):
+64-float row per (octant, node), and — crucially — an internal node's row
+holds its CHILDREN's AABBs, so subtrees whose box misses are pruned without
+ever fetching them (the currency is gathered rows, not tests):
 
-  cols  0:3   aabb min            cols 10:14  material id per leaf slot
-  cols  3:6   aabb max            cols 14:18  backface-cull flag per slot
-  col   6     hit_next  (float)   cols 18:54  4 triangles × (v0,v1,v2)
-  col   7     miss_next (float)   cols 54:64  pad
-  col   8     leaf count (0 ⇒ internal)
-  col   9     first global triangle index (attributes/ids)
+  internal rows                      leaf rows
+  ---------------------             -----------------------------
+  0:3   near-child aabb min         16    first global triangle id
+  3:6   near-child aabb max         17:21 material id per slot
+  6:9   far-child aabb min          21:25 backface-cull flag per slot
+  9:12  far-child aabb max          25:61 4 triangles × (v0,v1,v2)
+  12    near-child row (float)
+  13    far-child row
+  shared: 14 skip row (-1 ends), 15 leaf count (0 ⇒ internal)
 
-Leaf triangles are stored INLINE (duplicated per octant), so a leaf visit
-costs the same single gather as an internal visit. Integer fields ride as
-floats — all indices stay below 2^24 so the round trip is exact.
-
-The per-octant hit/miss links come from accel/threading.py; everything else
-is octant-invariant but duplicated to keep the step at exactly one gather.
+near/far are octant-ordered (accel/threading.py), so descent stays
+near-first. A leaf's AABB is tested by its parent, so leaf visits go
+straight to the inline triangle slab. Integer fields ride as floats (all
+indices < 2^24, exact round trip).
 """
 from __future__ import annotations
 
@@ -30,47 +33,67 @@ ROW_WIDTH = 64
 #: leaf slots per row; must equal scene.LEAF_CHUNK
 ROW_TRIS = 4
 
+# column indices (shared with kernels/traverse.py)
+COL_LINK_NEAR = 12
+COL_LINK_FAR = 13
+COL_SKIP = 14
+COL_COUNT = 15
+COL_FIRST = 16
+COL_MATS = 17
+COL_CULLS = 21
+COL_TRIS = 25
+
 
 def pack_octant_rows(bvh: BVH, v0, v1, v2, tri_mat, tri_cull,
                      node_offset: int, tri_offset: int) -> np.ndarray:
     """Build the (8, N, 64) packed rows for one group BVH.
 
     v0/v1/v2/tri_mat/tri_cull are the group's LEAF-ORDERED triangle arrays
-    (i.e. already permuted by bvh.tri_order). Links and ``first`` are
-    globalized with node_offset/tri_offset.
+    (already permuted by bvh.tri_order). Links/skip/first are globalized
+    with node_offset/tri_offset.
     """
     n = bvh.n_nodes
-    rows = np.zeros((8, n, ROW_WIDTH), np.float32)
     lhit, lmiss = compute_skip_links(bvh)
+    left, right = bvh.node_left, bvh.node_right
+    internal = bvh.node_count == 0
 
     base = np.zeros((n, ROW_WIDTH), np.float32)
-    base[:, 0:3] = bvh.node_min
-    base[:, 3:6] = bvh.node_max
-    base[:, 8] = bvh.node_count.astype(np.float32)
-    base[:, 9] = (bvh.node_first + tri_offset).astype(np.float32)
+    base[:, COL_COUNT] = bvh.node_count.astype(np.float32)
+    base[:, COL_FIRST] = (bvh.node_first + tri_offset).astype(np.float32)
 
     # Inline leaf triangle slabs.
-    leaves = np.flatnonzero(bvh.node_count > 0)
+    leaves = np.flatnonzero(~internal)
     first = bvh.node_first[leaves]
     count = bvh.node_count[leaves]
     n_tris = len(v0)
     for j in range(ROW_TRIS):
         tri = np.minimum(first + j, max(n_tris - 1, 0))
         valid = j < count
-        base[leaves, 10 + j] = np.where(valid, tri_mat[tri], 0).astype(np.float32)
-        # invalid slots cull everything: flag 1 with degenerate zero triangle
-        base[leaves, 14 + j] = np.where(valid, tri_cull[tri], 1.0)
-        o = 18 + j * 9
+        base[leaves, COL_MATS + j] = np.where(valid, tri_mat[tri], 0
+                                              ).astype(np.float32)
+        # invalid slots: cull=1 + degenerate zero triangle ⇒ guaranteed miss
+        base[leaves, COL_CULLS + j] = np.where(valid, tri_cull[tri], 1.0)
+        o = COL_TRIS + j * 9
         for k, arr in enumerate((v0, v1, v2)):
             vals = np.where(valid[:, None], arr[tri], 0.0)
             base[leaves, o + 3 * k:o + 3 * k + 3] = vals
 
+    rows = np.zeros((8, n, ROW_WIDTH), np.float32)
+    ints = np.flatnonzero(internal)
     for oct_ in range(8):
-        rows[oct_] = base
-        rows[oct_, :, 6] = np.where(lhit[oct_] >= 0,
-                                    lhit[oct_] + node_offset, -1).astype(np.float32)
-        rows[oct_, :, 7] = np.where(lmiss[oct_] >= 0,
-                                    lmiss[oct_] + node_offset, -1).astype(np.float32)
+        r = base.copy()
+        near = lhit[oct_][ints]  # near child (octant-ordered), local index
+        far = np.where(near == left[ints], right[ints], left[ints])
+        r[ints, 0:3] = bvh.node_min[near]
+        r[ints, 3:6] = bvh.node_max[near]
+        r[ints, 6:9] = bvh.node_min[far]
+        r[ints, 9:12] = bvh.node_max[far]
+        r[ints, COL_LINK_NEAR] = (near + node_offset).astype(np.float32)
+        r[ints, COL_LINK_FAR] = (far + node_offset).astype(np.float32)
+        r[:, COL_SKIP] = np.where(lmiss[oct_] >= 0,
+                                  lmiss[oct_] + node_offset, -1
+                                  ).astype(np.float32)
+        rows[oct_] = r
     return rows
 
 

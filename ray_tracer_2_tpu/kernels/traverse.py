@@ -56,16 +56,20 @@ def _leaf_chunk(scene, origin, direction, tri_base, count, valid_leaf,
 
 
 def traverse_bvh_packed(scene: RenderScene, origin, direction, inv_dir,
-                        node_offset):
+                        node_offset, unroll: int = 2):
     """Default traversal: stackless threaded walk over PACKED octant rows
-    (accel/packed.py) — exactly ONE gather per step. Leaf triangle slabs are
-    inline in the row, so leaves cost the same gather as internal nodes;
-    invalid slots carry degenerate zero-triangles that Möller–Trumbore
-    rejects via its determinant epsilon, so no per-slot masking is needed.
+    (accel/packed.py) — exactly ONE gather per visited node. Internal rows
+    carry their CHILDREN's AABBs, so pruned subtrees are never fetched; leaf
+    rows carry their triangle slab inline (invalid slots are degenerate
+    zero-triangles that Möller–Trumbore rejects via its determinant epsilon).
+    ``unroll`` node-steps run per loop iteration to amortize the ~60 us
+    while_loop iteration overhead.
 
     Returns dict: dst, tri (global index, -1 = miss), u, v, det, mat (B,),
-    stats (B, 2).
+    stats (B, 2) [aabb tests, tri tests].
     """
+    from ray_tracer_2_tpu.accel import packed as pk
+
     B = origin.shape[0]
     n_nodes = scene.node_count.shape[0]
 
@@ -85,49 +89,66 @@ def traverse_bvh_packed(scene: RenderScene, origin, direction, inv_dir,
         jnp.full((B, 1), -1, jnp.int32),
         jnp.zeros((B, 6), jnp.int32)], axis=1)
 
-    def cond(s):
-        return jnp.any(s[1][:, 0] >= 0)
-
-    def body(s):
-        sf, si = s
+    def step(sf, si):
         cur = si[:, 0]
         active = cur >= 0
         safe = jnp.where(active, cur, node_offset)
         row = jnp.take(scene.packed_rows, link_base + safe, axis=0)  # (B, 64)
 
         best_dst = sf[:, 0]
-        d = ray_aabb_dist(origin, inv_dir, row[:, 0:3], row[:, 3:6], best_dst)
-        box_hit = active & (d < INF)
-        count = row[:, 8]
-        is_leaf = count > 0.5
+        count = row[:, pk.COL_COUNT]
+        is_leaf = active & (count > 0.5)
+        is_int = active & (count < 0.5)
 
+        # internal: test both (octant-ordered) child boxes
+        d_near = ray_aabb_dist(origin, inv_dir, row[:, 0:3], row[:, 3:6],
+                               best_dst)
+        d_far = ray_aabb_dist(origin, inv_dir, row[:, 6:9], row[:, 9:12],
+                              best_dst)
+        hit_near = is_int & (d_near < INF)
+        hit_far = is_int & (d_far < INF)
+        next_int = jnp.where(
+            hit_near, row[:, pk.COL_LINK_NEAR],
+            jnp.where(hit_far, row[:, pk.COL_LINK_FAR], row[:, pk.COL_SKIP]))
+
+        # leaf: inline triangle slab (box was tested by the parent)
         best_u, best_v, best_det = sf[:, 1], sf[:, 2], sf[:, 3]
         best_tri, best_mat = si[:, 1], si[:, 2]
-        first = row[:, 9].astype(jnp.int32)
+        first = row[:, pk.COL_FIRST].astype(jnp.int32)
         for j in range(LEAF_CHUNK):
-            o = 18 + j * 9
-            cull = row[:, 14 + j] > 0.5
+            o = pk.COL_TRIS + j * 9
+            cull = row[:, pk.COL_CULLS + j] > 0.5
             hit, dst, u, v, det = ray_triangle(
                 origin, direction, row[:, o:o + 3], row[:, o + 3:o + 6],
                 row[:, o + 6:o + 9], cull)
-            better = box_hit & hit & (dst < best_dst)
+            better = is_leaf & hit & (dst < best_dst)
             best_tri = jnp.where(better, first + j, best_tri)
             best_u = jnp.where(better, u, best_u)
             best_v = jnp.where(better, v, best_v)
             best_det = jnp.where(better, det, best_det)
-            best_mat = jnp.where(better, row[:, 10 + j].astype(jnp.int32),
+            best_mat = jnp.where(better,
+                                 row[:, pk.COL_MATS + j].astype(jnp.int32),
                                  best_mat)
             best_dst = jnp.where(better, dst, best_dst)
 
-        nxt = jnp.where(box_hit & ~is_leaf, row[:, 6], row[:, 7]).astype(jnp.int32)
+        nxt = jnp.where(is_leaf, row[:, pk.COL_SKIP], next_int
+                        ).astype(jnp.int32)
 
         sf = jnp.stack([best_dst, best_u, best_v, best_det], axis=1)
         si = jnp.stack([
             jnp.where(active, nxt, cur), best_tri, best_mat,
-            si[:, 3] + active.astype(jnp.int32),
-            si[:, 4] + jnp.where(box_hit & is_leaf,
-                                 count.astype(jnp.int32), 0),
+            si[:, 3] + jnp.where(is_int, 2, 0),
+            si[:, 4] + jnp.where(is_leaf, count.astype(jnp.int32), 0),
             si[:, 5], si[:, 6], si[:, 7]], axis=1)
+        return sf, si
+
+    def cond(s):
+        return jnp.any(s[1][:, 0] >= 0)
+
+    def body(s):
+        sf, si = s
+        for _ in range(unroll):
+            sf, si = step(sf, si)
         return sf, si
 
     sf, si = jax.lax.while_loop(cond, body, (sf0, si0))

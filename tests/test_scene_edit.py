@@ -54,8 +54,9 @@ def test_glass_toggle_repacks_cull_flags(assets):
     packed_after = np.asarray(host.render_scene.packed_rows)
     assert not np.array_equal(packed_before, packed_after)
     # cull columns only
+    from ray_tracer_2_tpu.accel.packed import COL_CULLS
     diff_cols = np.unique(np.nonzero(packed_before != packed_after)[1])
-    assert set(diff_cols.tolist()) <= {14, 15, 16, 17}
+    assert set(diff_cols.tolist()) <= set(range(COL_CULLS, COL_CULLS + 4))
 
 
 def test_instance_transform_edit():
