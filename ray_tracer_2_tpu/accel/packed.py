@@ -3,16 +3,16 @@
 TPU random gathers are latency-bound per ROW, and a row of up to 128 lanes
 costs the same as one float (the hardware fetches a full tile either way).
 So the traversal's entire working set for one step is packed into a single
-64-float row per (octant, node), and — crucially — an internal node's row
+128-float row per (octant, node), and — crucially — an internal node's row
 holds its CHILDREN's AABBs, so subtrees whose box misses are pruned without
 ever fetching them (the currency is gathered rows, not tests):
 
   internal rows                      leaf rows
   ---------------------             -----------------------------
-  0:3   near-child aabb min         16    first global triangle id
-  3:6   near-child aabb max         17:21 material id per slot
-  6:9   far-child aabb min          21:25 backface-cull flag per slot
-  9:12  far-child aabb max          25:61 4 triangles × (v0,v1,v2)
+  0:3   near-child aabb min         16     first global triangle id
+  3:6   near-child aabb max         17:25  material id per slot
+  6:9   far-child aabb min          25:33  backface-cull flag per slot
+  9:12  far-child aabb max          33:105 8 triangles × (v0,v1,v2)
   12    near-child row (float)
   13    far-child row
   shared: 14 skip row (-1 ends), 15 leaf count (0 ⇒ internal)
@@ -29,9 +29,9 @@ import numpy as np
 from ray_tracer_2_tpu.accel.bvh import BVH
 from ray_tracer_2_tpu.accel.threading import compute_skip_links
 
-ROW_WIDTH = 64
+ROW_WIDTH = 128
 #: leaf slots per row; must equal scene.LEAF_CHUNK
-ROW_TRIS = 4
+ROW_TRIS = 8
 
 # column indices (shared with kernels/traverse.py)
 COL_LINK_NEAR = 12
@@ -40,8 +40,8 @@ COL_SKIP = 14
 COL_COUNT = 15
 COL_FIRST = 16
 COL_MATS = 17
-COL_CULLS = 21
-COL_TRIS = 25
+COL_CULLS = 25
+COL_TRIS = 33
 
 
 def pack_octant_rows(bvh: BVH, v0, v1, v2, tri_mat, tri_cull,

@@ -37,7 +37,7 @@ log = logging.getLogger(__name__)
 
 #: Leaf triangle chunk width — leaves are built with <= this many triangles so
 #: the traversal kernel intersects a whole leaf as one fixed-width vector op.
-LEAF_CHUNK = 4
+LEAF_CHUNK = 8
 
 
 @jax.tree_util.register_dataclass
