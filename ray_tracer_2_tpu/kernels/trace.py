@@ -213,6 +213,7 @@ def trace_batch(scene: RenderScene, origin, direction, seed, *,
         trans, incoming = F[:, 6:10], F[:, 10:14]
         seed = jax.lax.bitcast_convert_type(I[:, 0], jnp.uint32)
         alive = I[:, 1] > 0
+        entry_alive = alive  # a miss segment is still a traced segment
         segments = I[:, 2]
         hit = compute_hit(scene, o, d, 1.0 / d)
 
@@ -293,7 +294,7 @@ def trace_batch(scene: RenderScene, origin, direction, seed, *,
             jax.lax.bitcast_convert_type(
                 jnp.where(alive, new_seed, seed), jnp.int32),
             (alive & survive).astype(jnp.int32),
-            segments + alive.astype(jnp.int32),
+            segments + entry_alive.astype(jnp.int32),
             I[:, 3]], axis=1)
         return i + 1, F_new, I_new
 
@@ -338,6 +339,14 @@ def trace_pixels(scene: RenderScene, x, y, frames, *,
     seed0 = rng.seed_for_pixel(pixel_index, frames)
     inv_size_x = 1.0 / jnp.float32(width)
 
+    # Scenes with at least one BVH instance use the flat megakernel state
+    # machine (kernels/megakernel.py) — no per-bounce lockstep barriers;
+    # brute-force/sphere-only scenes keep the simple layered loop.
+    from ray_tracer_2_tpu.kernels.megakernel import (
+        _bvh_instances, trace_batch_flat,
+    )
+    tracer = (trace_batch_flat if _bvh_instances(scene) else trace_batch)
+
     def sample_once(carry, _):
         seed, total, segs = carry
         dj, seed = rng.rand_in_unit_disk(seed)
@@ -347,8 +356,8 @@ def trace_pixels(scene: RenderScene, x, y, frames, *,
         vj = vj * scene.diverge_strength * inv_size_x
         fp = focus_point + cam_right * vj[:, :1] + cam_up * vj[:, 1:]
         direction = normalize(fp - origin)
-        light, seed, seg = trace_batch(scene, origin, direction, seed,
-                                       bounces=bounces, skybox=skybox)
+        light, seed, seg = tracer(scene, origin, direction, seed,
+                                  bounces=bounces, skybox=skybox)
         return (seed, total + light, segs + seg), None
 
     B = x.shape[0]
