@@ -52,14 +52,19 @@ def main():
     ap.add_argument("--warmup", type=int, default=2)
     ap.add_argument("--frames", type=int, default=8)
     ap.add_argument("--tile-rows", type=int, default=None)
+    ap.add_argument("--tile-cols", type=int, default=None)
     args = ap.parse_args()
 
     from ray_tracer_2_tpu.config import RenderParams
     from ray_tracer_2_tpu.engine.renderer import Renderer
 
     host = dragon_scene()
-    renderer = Renderer(**({"tile_rows": args.tile_rows}
-                           if args.tile_rows else {}))
+    kw = {}
+    if args.tile_rows:
+        kw["tile_rows"] = args.tile_rows
+    if args.tile_cols:
+        kw["tile_cols"] = args.tile_cols
+    renderer = Renderer(**kw)
     p = RenderParams(width=args.width, height=args.height,
                      bounces=args.bounces, rays_per_pixel=args.rpp,
                      skybox=True, frames=0)

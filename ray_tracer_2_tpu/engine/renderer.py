@@ -23,22 +23,23 @@ from ray_tracer_2_tpu.config import DebugMode, RenderParams
 from ray_tracer_2_tpu.kernels.trace import debug_trace_pixels, trace_pixels
 from ray_tracer_2_tpu.scene.render_scene import RenderScene
 
-DEFAULT_TILE_ROWS = 8
+DEFAULT_TILE_ROWS = 64
+DEFAULT_TILE_COLS = 256
 
 
 @partial(jax.jit, donate_argnums=(1,),
          static_argnames=("width", "height", "bounces", "rays_per_pixel",
-                          "skybox", "debug_mode", "tile_rows"))
+                          "skybox", "debug_mode", "tile_rows", "tile_cols"))
 def render_frame(scene: RenderScene, framebuffer: jax.Array, frames: jax.Array,
                  debug_scale: jax.Array, *, width: int, height: int,
                  bounces: int, rays_per_pixel: int, skybox: bool,
-                 debug_mode: int, tile_rows: int):
+                 debug_mode: int, tile_rows: int, tile_cols: int | None = None):
     """Render + accumulate one frame. framebuffer: (height, width, 4) f32.
     Returns (new framebuffer, traced-segment count scalar)."""
     sample, segments = render_sample(
         scene, frames, debug_scale, width=width, height=height,
         bounces=bounces, rays_per_pixel=rays_per_pixel, skybox=skybox,
-        debug_mode=debug_mode, tile_rows=tile_rows)
+        debug_mode=debug_mode, tile_rows=tile_rows, tile_cols=tile_cols)
     # Progressive average (ray_tracer.wgsl:154-161): frames <= 0 ⇒ overwrite.
     weight = jnp.where(frames >= 1, 1.0 / (frames.astype(jnp.float32) + 1.0), 1.0)
     return framebuffer * (1.0 - weight) + sample * weight, segments
@@ -47,20 +48,35 @@ def render_frame(scene: RenderScene, framebuffer: jax.Array, frames: jax.Array,
 def render_sample(scene: RenderScene, frames, debug_scale, *, width: int,
                   height: int, bounces: int, rays_per_pixel: int,
                   skybox: bool, debug_mode: int, tile_rows: int,
+                  tile_cols: int | None = None,
                   row_start=0, rows: int | None = None) -> jax.Array:
     """Radiance for ``rows`` rows starting at ``row_start`` (no accumulation),
     (rows, width, 4). ``row_start`` may be traced (multi-chip row blocks);
-    ``width``/``height`` always describe the FULL image (camera uv space)."""
-    rows = height if rows is None else rows
-    n_tiles = -(-rows // tile_rows)
-    pad_h = n_tiles * tile_rows
-    xs = jnp.arange(width, dtype=jnp.int32)
-    tile_starts = row_start + jnp.arange(n_tiles, dtype=jnp.int32) * tile_rows
+    ``width``/``height`` always describe the FULL image (camera uv space).
 
-    def tile_fn(y0):
-        y = (y0 + jnp.arange(tile_rows, dtype=jnp.int32))[:, None]
-        yy = jnp.broadcast_to(y, (tile_rows, width)).reshape(-1)
-        xx = jnp.broadcast_to(xs[None, :], (tile_rows, width)).reshape(-1)
+    Tiles are (tile_rows × tile_cols) pixel BLOCKS (tile_cols=None ⇒ full
+    width). Square-ish blocks matter: a tile's wall-clock is its slowest
+    ray's path, so tiles that miss the heavy geometry finish early instead
+    of being chained to it across the full image width.
+    """
+    rows = height if rows is None else rows
+    tile_cols = width if tile_cols is None else tile_cols
+    n_ty = -(-rows // tile_rows)
+    n_tx = -(-width // tile_cols)
+    pad_h = n_ty * tile_rows
+    pad_w = n_tx * tile_cols
+
+    def tile_fn(t):
+        ty = t // n_tx
+        tx = t % n_tx
+        y0 = row_start + ty * tile_rows
+        x0 = tx * tile_cols
+        yy = jnp.broadcast_to((y0 + jnp.arange(tile_rows, dtype=jnp.int32)
+                               )[:, None], (tile_rows, tile_cols)).reshape(-1)
+        xx = jnp.broadcast_to((x0 + jnp.arange(tile_cols, dtype=jnp.int32)
+                               )[None, :], (tile_rows, tile_cols)).reshape(-1)
+        # clamp out-of-image pixels (right/bottom padding) to stay in range
+        xx = jnp.minimum(xx, width - 1)
         if debug_mode != int(DebugMode.OFF):
             color = debug_trace_pixels(scene, xx, yy, width=width, height=height,
                                        debug_mode=debug_mode,
@@ -72,19 +88,22 @@ def render_sample(scene: RenderScene, frames, debug_scale, *, width: int,
                                       rays_per_pixel=rays_per_pixel,
                                       skybox=skybox)
             segs = jnp.sum(seg.astype(jnp.float32))
-        return color.reshape(tile_rows, width, 4), segs
+        return color.reshape(tile_rows, tile_cols, 4), segs
 
-    tiles, segs = jax.lax.map(tile_fn, tile_starts)
-    img = tiles.reshape(pad_h, width, 4)
-    return img[:rows], jnp.sum(segs)
+    tiles, segs = jax.lax.map(tile_fn, jnp.arange(n_ty * n_tx, dtype=jnp.int32))
+    img = (tiles.reshape(n_ty, n_tx, tile_rows, tile_cols, 4)
+           .transpose(0, 2, 1, 3, 4).reshape(pad_h, pad_w, 4))
+    return img[:rows, :width], jnp.sum(segs)
 
 
 class Renderer:
     """Host-facing wrapper: owns the accumulation buffer and render stats
     (ref RayTracer, ray_tracer.rs:49-236 — minus the per-frame re-upload)."""
 
-    def __init__(self, tile_rows: int = DEFAULT_TILE_ROWS):
+    def __init__(self, tile_rows: int = DEFAULT_TILE_ROWS,
+                 tile_cols: int | None = DEFAULT_TILE_COLS):
         self.tile_rows = tile_rows
+        self.tile_cols = tile_cols
         self.framebuffer: jax.Array | None = None
         self.last_segments: jax.Array | None = None  # traced rays last frame
         self._fb_shape: tuple | None = None
@@ -105,7 +124,7 @@ class Renderer:
             rays_per_pixel=int(params.rays_per_pixel),
             skybox=bool(params.skybox),
             debug_mode=int(params.debug_mode),
-            tile_rows=self.tile_rows,
+            tile_rows=self.tile_rows, tile_cols=self.tile_cols,
         )
         return self.framebuffer
 
