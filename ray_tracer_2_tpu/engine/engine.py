@@ -72,6 +72,7 @@ class Engine:
         self.params = RenderParams(width=width, height=height, bounces=5,
                                    rays_per_pixel=1, skybox=True, frames=0,
                                    accumulate=True)
+        self._base_resolution = (width, height)
         self.assets = assets or AssetManager()
         self.scene_manager = SceneManager(self.assets)
         self.renderer = Renderer()
@@ -173,6 +174,27 @@ class Engine:
         mode = DebugMode((int(self.params.debug_mode) + 1) % 8)
         self.params = dataclasses.replace(self.params, debug_mode=mode,
                                           frames=-1)
+
+    def toggle_low_res(self) -> None:
+        """R key (app.rs:236-246): halve/restore the session resolution."""
+        w, h = self.params.width, self.params.height
+        if (w, h) == self._base_resolution:
+            w, h = w // 2, h // 2
+        else:
+            w, h = self._base_resolution
+        self.params = dataclasses.replace(self.params, width=w, height=h,
+                                          frames=-1)
+
+    def set_resolution(self, width: int, height: int) -> None:
+        """Debug-panel resolution drag (egui.rs:434-446)."""
+        self.params = dataclasses.replace(
+            self.params, width=max(int(width), 8), height=max(int(height), 8),
+            frames=-1)
+
+    def rebuild_bvh(self, quality: str) -> None:
+        """Debug-panel BVH quality combo + rebuild (egui.rs:404-460)."""
+        from ray_tracer_2_tpu.accel.bvh import BVHQuality
+        self.scene_manager.rebuild_bvh(BVHQuality(quality))
 
     def toggle_skybox(self) -> None:
         self.params = dataclasses.replace(

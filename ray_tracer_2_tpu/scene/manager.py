@@ -28,6 +28,7 @@ class SceneManager:
         self.scene: HostScene | None = None
         self.selected_scene = None
         self.selected_entity: int = -1
+        self.bvh_quality = BVHQuality.HIGH
         self._requests: queue.Queue = queue.Queue()
         self._loaded: queue.Queue = queue.Queue()
         self._thread = threading.Thread(target=self._loader_loop, daemon=True)
@@ -37,23 +38,26 @@ class SceneManager:
         from ray_tracer_2_tpu.scene.scenes import build_scene_definition
 
         while True:
-            name = self._requests.get()
-            if name is None:
+            req = self._requests.get()
+            if req is None:
                 return
+            name, quality = req
             try:
                 definition = build_scene_definition(name, self.assets)
                 scene = instantiate_scene(definition, self.assets,
-                                          quality=BVHQuality.HIGH)
+                                          quality=quality)
                 self._loaded.put((name, scene))
             except Exception:  # surface loader errors instead of dying silently
                 log.exception("scene load failed: %s", name)
                 self._loaded.put((name, None))
 
-    def request_scene(self, name) -> None:
-        """Queue an async scene load (scene.rs:140-146)."""
+    def request_scene(self, name, quality: BVHQuality = BVHQuality.HIGH) -> None:
+        """Queue an async scene load (scene.rs:140-146). ``quality`` supports
+        the debug panel's BVH quality selector + rebuild (egui.rs:404-460)."""
         log.info("Loading Scene: %s", name)
         self.selected_scene = name
-        self._requests.put(name)
+        self.bvh_quality = quality
+        self._requests.put((name, quality))
 
     def poll_loaded(self) -> HostScene | None:
         """Non-blocking poll (app.rs:135-142 try_recv)."""
@@ -65,8 +69,14 @@ class SceneManager:
             self.scene = scene
         return scene
 
-    def load_blocking(self, name) -> HostScene:
-        self.request_scene(name)
+    def rebuild_bvh(self, quality: BVHQuality) -> None:
+        """Rebuild the current scene's BVHs at a new quality tier
+        (egui.rs:404-460 rebuild button)."""
+        if self.selected_scene is not None:
+            self.request_scene(self.selected_scene, quality)
+
+    def load_blocking(self, name, quality: BVHQuality = BVHQuality.HIGH) -> HostScene:
+        self.request_scene(name, quality)
         while True:
             got = self._loaded.get()
             if got[0] == name:

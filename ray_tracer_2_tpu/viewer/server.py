@@ -140,6 +140,8 @@ class ViewerServer:
             eng.cycle_debug_mode()
         elif key == "p":
             eng.save_render(f"render_{int(time.time())}.png")
+        elif key == "r":
+            eng.toggle_low_res()
         elif key == "1":
             eng.toggle_skybox()
         elif key == "2":
@@ -159,6 +161,11 @@ class ViewerServer:
                                              frames=-1)
         elif name == "scene":
             eng.scene_manager.request_scene(SceneName(value))
+        elif name == "resolution":
+            w, h = (int(v) for v in str(value).lower().split("x"))
+            eng.set_resolution(w, h)
+        elif name == "bvh_quality":
+            eng.rebuild_bvh(str(value))
         elif name in ("fov", "focus_dist", "defocus_strength",
                       "diverge_strength"):
             scene = eng.scene_manager.scene
