@@ -60,6 +60,19 @@ def render_sample(scene: RenderScene, frames, debug_scale, *, width: int,
     of being chained to it across the full image width.
     """
     rows = height if rows is None else rows
+
+    # BVH scenes render through the persistent-lanes megakernel: one fixed
+    # lane batch consumes the whole pixel queue, so per-pixel path-length
+    # variance never stalls a tile (kernels/megakernel.py).
+    from ray_tracer_2_tpu.kernels.megakernel import (
+        _bvh_instances, render_persistent,
+    )
+    if debug_mode == int(DebugMode.OFF) and _bvh_instances(scene):
+        return render_persistent(
+            scene, frames, width=width, height=height, bounces=bounces,
+            rays_per_pixel=rays_per_pixel, skybox=skybox,
+            row_start=row_start, rows=rows)
+
     tile_cols = width if tile_cols is None else tile_cols
     n_ty = -(-rows // tile_rows)
     n_tx = -(-width // tile_cols)

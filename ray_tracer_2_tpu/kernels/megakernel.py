@@ -10,15 +10,28 @@ and brute-force prepass for the next segment) runs as a masked phase gated by
 ``lax.cond`` every SHADE_EVERY iterations, so its cost is amortized while
 traversal — one packed-row gather per step — stays the steady-state body.
 
+Two entry points share the same parts:
+
+* ``trace_batch_flat`` — fixed ray batch, drop-in for kernels/trace.py's
+  ``trace_batch``.
+* ``render_persistent`` — PERSISTENT LANES: a fixed batch of lanes consumes
+  the whole image as a work queue. When a lane finishes a pixel (all
+  rays_per_pixel samples), it scatters the result into the framebuffer and
+  claims the next pixel from a cursor, so lanes stay busy regardless of how
+  uneven per-pixel path lengths are — the TPU analog of GPU
+  persistent-threads megakernels, and the fix for lockstep waste across
+  tiles.
+
 Ray phase encoding (int state):
-  bounce < 0                  not yet started (first boundary skips shading)
+  bounce == -2                lane idle, needs to claim a pixel (persistent)
+  bounce == -1                ray primed, first boundary skips shading
   cur >= 0                    traversing BVH instance bvh_ptr
   cur == -1, bvh_ptr < n_bvh  instance finished → merge, advance (inline)
   cur == -1, bvh_ptr == n_bvh segment done → wait for the boundary phase
   bounce == DONE              terminated
 
 Physics is identical to kernels/trace.py (same RNG stream, same shading) —
-tested bit-compatible on the goldens.
+tested bit-compatible.
 """
 from __future__ import annotations
 
@@ -36,9 +49,14 @@ from ray_tracer_2_tpu.scene.render_scene import LEAF_CHUNK, RenderScene
 
 SHADE_EVERY = 4   # boundary phase cadence (iterations)
 DONE = 1 << 20    # bounce sentinel for terminated rays
+IDLE = -2         # bounce sentinel for lanes awaiting a pixel claim
 
 GLASS = 1
 TEXTURE = 2
+
+# I-state column map
+I_SEED, I_BOUNCE, I_SEGS, I_CUR, I_PTR, I_TRI, I_MAT, I_STRI, I_SMAT, \
+    I_FLAG, I_SN, I_ST, I_PIXEL, I_SAMPLE, _IP1, _IP2 = range(16)
 
 
 def _bvh_instances(scene: RenderScene):
@@ -46,47 +64,36 @@ def _bvh_instances(scene: RenderScene):
             if c > BRUTE_MAX_TRIS]
 
 
-def trace_batch_flat(scene: RenderScene, origin, direction, seed, *,
-                     bounces: int, skybox: bool):
-    """Drop-in replacement for trace_batch when the scene has BVH instances.
-    Returns (incoming (B,4), seed, segments (B,))."""
-    B = origin.shape[0]
-    direction = normalize(direction)
+def _make_parts(scene: RenderScene, B: int, bounces: int, skybox: bool):
+    """Build the shared kernel phases as closures over one (scene, B)."""
+    from ray_tracer_2_tpu.accel import packed as pk
+    from ray_tracer_2_tpu.kernels.trace import (
+        _gather_material, _mat4_apply, _reflectance, environment_light,
+    )
+
     bvh_ids = _bvh_instances(scene)
     n_bvh = len(bvh_ids)
-    assert n_bvh >= 1
     roots = [scene.inst_spans[i][0] for i in bvh_ids]
     n_nodes = scene.node_count.shape[0]
-
-    # static per-instance matrices as stacked constants
-    w2m_all = scene.inst_world_to_model  # (I,4,4) traced but loop-invariant
+    w2m_all = scene.inst_world_to_model
     m2w_all = scene.inst_model_to_world
+    bvh_raw_ids = jnp.asarray(bvh_ids, jnp.int32)
 
-    def w2m_for(ptr):  # (B,4,4) via unrolled select over the bvh list
-        out = jnp.broadcast_to(w2m_all[bvh_ids[0]], (B, 4, 4))
-        for k in range(1, n_bvh):
+    def _sel4x4(table, ids, ptr):
+        out = jnp.broadcast_to(table[ids[0]], (B, 4, 4))
+        for k in range(1, len(ids)):
             out = jnp.where((ptr == k)[:, None, None],
-                            jnp.broadcast_to(w2m_all[bvh_ids[k]], (B, 4, 4)),
-                            out)
+                            jnp.broadcast_to(table[ids[k]], (B, 4, 4)), out)
         return out
+
+    def w2m_for(ptr):
+        return _sel4x4(w2m_all, bvh_ids, ptr)
 
     def m2w_for(ptr):
-        out = jnp.broadcast_to(m2w_all[bvh_ids[0]], (B, 4, 4))
-        for k in range(1, n_bvh):
-            out = jnp.where((ptr == k)[:, None, None],
-                            jnp.broadcast_to(m2w_all[bvh_ids[k]], (B, 4, 4)),
-                            out)
-        return out
+        return _sel4x4(m2w_all, bvh_ids, ptr)
 
     def m2w_raw(raw):
-        """Select model_to_world by RAW instance index (any instance)."""
-        out = jnp.broadcast_to(m2w_all[0], (B, 4, 4))
-        for k in range(1, scene.n_instances):
-            out = jnp.where((raw == k)[:, None, None],
-                            jnp.broadcast_to(m2w_all[k], (B, 4, 4)), out)
-        return out
-
-    bvh_raw_ids = jnp.asarray(bvh_ids, jnp.int32)
+        return _sel4x4(m2w_all, list(range(scene.n_instances)), raw)
 
     def root_for(ptr):
         out = jnp.full((B,), roots[0], jnp.int32)
@@ -94,40 +101,9 @@ def trace_batch_flat(scene: RenderScene, origin, direction, seed, *,
             out = jnp.where(ptr == k, roots[k], out)
         return out
 
-    # ---------------- state ------------------------------------------
-    # F (B,14) f32: origin3 dir3 trans4 incoming4          (world ray)
-    # M (B,10) f32: om3 dm3 cur_best: dst u v det          (model-space walk)
-    # W (B,12) f32: seg best: dst, u, v, det, point3, normal3, uv2 (world)
-    # I (B,12) i32: seed, bounce, segments, cur, bvh_ptr, tri, mat,
-    #               seg_tri, seg_mat, seg_backface, stat_nodes, stat_tris
-    F0 = jnp.concatenate([origin, direction, jnp.ones((B, 4)),
-                          jnp.zeros((B, 4))], axis=1)
-    M0 = jnp.concatenate([jnp.zeros((B, 6)), jnp.full((B, 1), INF),
-                          jnp.zeros((B, 3))], axis=1)
-    W0 = jnp.concatenate([jnp.full((B, 1), INF), jnp.zeros((B, 11))], axis=1)
-    I0 = jnp.stack([
-        jax.lax.bitcast_convert_type(seed, jnp.int32),
-        jnp.full((B,), -1, jnp.int32),            # bounce: -1 = not started
-        jnp.zeros((B,), jnp.int32),               # segments
-        jnp.full((B,), -1, jnp.int32),            # cur node
-        jnp.full((B,), n_bvh, jnp.int32),         # bvh_ptr: at boundary
-        jnp.full((B,), -1, jnp.int32),            # per-instance best tri
-        jnp.zeros((B,), jnp.int32),               # per-instance best mat
-        jnp.full((B,), -1, jnp.int32),            # segment best tri
-        jnp.zeros((B,), jnp.int32),               # segment best mat
-        jnp.zeros((B,), jnp.int32),               # segment backface
-        jnp.zeros((B,), jnp.int32),               # stat nodes
-        jnp.zeros((B,), jnp.int32),               # stat tris
-    ], axis=1)
-
-    from ray_tracer_2_tpu.accel import packed as pk
-    from ray_tracer_2_tpu.kernels.trace import (
-        _gather_material, _mat4_apply, _reflectance, environment_light,
-    )
-
     # ------------------------------------------------ traversal step --
     def traversal_step(F, M, W, I):
-        cur = I[:, 3]
+        cur = I[:, I_CUR]
         active = cur >= 0
         om, dm = M[:, 0:3], M[:, 3:6]
         inv_dm = 1.0 / dm
@@ -151,7 +127,7 @@ def trace_batch_flat(scene: RenderScene, origin, direction, seed, *,
             jnp.where(hit_far, row[:, pk.COL_LINK_FAR], row[:, pk.COL_SKIP]))
 
         best_u, best_v, best_det = M[:, 7], M[:, 8], M[:, 9]
-        best_tri, best_mat = I[:, 5], I[:, 6]
+        best_tri, best_mat = I[:, I_TRI], I[:, I_MAT]
         first = row[:, pk.COL_FIRST].astype(jnp.int32)
         for j in range(LEAF_CHUNK):
             o = pk.COL_TRIS + j * 9
@@ -173,24 +149,22 @@ def trace_batch_flat(scene: RenderScene, origin, direction, seed, *,
                         ).astype(jnp.int32)
         M = jnp.concatenate([om, dm, best_dst[:, None], best_u[:, None],
                              best_v[:, None], best_det[:, None]], axis=1)
-        I = I.at[:, 3].set(jnp.where(active, nxt, cur))
-        I = I.at[:, 5].set(best_tri)
-        I = I.at[:, 6].set(best_mat)
-        I = I.at[:, 10].add(jnp.where(is_int, 2, 0))
-        I = I.at[:, 11].add(jnp.where(is_leaf, count.astype(jnp.int32), 0))
+        I = I.at[:, I_CUR].set(jnp.where(active, nxt, cur))
+        I = I.at[:, I_TRI].set(best_tri)
+        I = I.at[:, I_MAT].set(best_mat)
+        I = I.at[:, I_SN].add(jnp.where(is_int, 2, 0))
+        I = I.at[:, I_ST].add(jnp.where(is_leaf, count.astype(jnp.int32), 0))
         return F, M, W, I
 
     # ------------------------------------ instance advance (inline) --
     def advance_instance(F, M, W, I):
-        """Rays with cur==-1 and bvh_ptr < n_bvh: fold the finished
-        instance's model-space best into the segment-best (world space) and
-        enter the next instance."""
-        cur = I[:, 3]
-        ptr = I[:, 4]
-        at_end = (cur == -1) & (ptr < n_bvh) & (I[:, 1] != DONE)
+        cur = I[:, I_CUR]
+        ptr = I[:, I_PTR]
+        live = (I[:, I_BOUNCE] != DONE) & (I[:, I_BOUNCE] != IDLE)
+        at_end = (cur == -1) & (ptr < n_bvh) & live
 
         om, dm = M[:, 0:3], M[:, 3:6]
-        got = at_end & (I[:, 5] >= 0)
+        got = at_end & (I[:, I_TRI] >= 0)
         m2w = m2w_for(ptr)
         local_hp = om + dm * M[:, 6:7]
         world_hp = jnp.einsum("bij,bj->bi", m2w[:, :3, :3], local_hp) \
@@ -201,13 +175,11 @@ def trace_batch_flat(scene: RenderScene, origin, direction, seed, *,
         W = jnp.where(better[:, None], jnp.concatenate([
             world_dst[:, None], M[:, 7:10], world_hp, jnp.zeros((B, 5))],
             axis=1), W)
-        I = I.at[:, 7].set(jnp.where(better, I[:, 5], I[:, 7]))
-        I = I.at[:, 8].set(jnp.where(better, I[:, 6], I[:, 8]))
-        # record the RAW winning instance index (backface comes from det sign)
+        I = I.at[:, I_STRI].set(jnp.where(better, I[:, I_TRI], I[:, I_STRI]))
+        I = I.at[:, I_SMAT].set(jnp.where(better, I[:, I_MAT], I[:, I_SMAT]))
         raw = jnp.take(bvh_raw_ids, jnp.clip(ptr, 0, n_bvh - 1))
-        I = I.at[:, 9].set(jnp.where(better, raw, I[:, 9]))
+        I = I.at[:, I_FLAG].set(jnp.where(better, raw, I[:, I_FLAG]))
 
-        # enter next instance
         new_ptr = jnp.where(at_end, ptr + 1, ptr)
         entering = at_end & (new_ptr < n_bvh)
         w2m = w2m_for(new_ptr)
@@ -216,31 +188,27 @@ def trace_batch_flat(scene: RenderScene, origin, direction, seed, *,
         dm_n = normalize(jnp.einsum("bij,bj->bi", w2m[:, :3, :3], d))
         M = jnp.where(entering[:, None], jnp.concatenate(
             [om_n, dm_n, jnp.full((B, 1), INF), jnp.zeros((B, 3))], axis=1), M)
-        I = I.at[:, 3].set(jnp.where(entering, root_for(new_ptr), I[:, 3]))
-        I = I.at[:, 5].set(jnp.where(entering, -1, I[:, 5]))
-        I = I.at[:, 4].set(new_ptr)
+        I = I.at[:, I_CUR].set(jnp.where(entering, root_for(new_ptr),
+                                         I[:, I_CUR]))
+        I = I.at[:, I_TRI].set(jnp.where(entering, -1, I[:, I_TRI]))
+        I = I.at[:, I_PTR].set(new_ptr)
         return F, M, W, I
 
-    # --------------------------------------------- boundary phase ----
-    def boundary(F, M, W, I):
-        """Rays at a segment boundary (bvh_ptr == n_bvh, cur == -1): resolve
-        the hit record, shade (kernels/trace.py physics), then prepass the
-        next segment (spheres + brute instances) and enter the first BVH
-        instance."""
-        at_b = (I[:, 4] >= n_bvh) & (I[:, 1] != DONE)
+    # -------------------------------------------- resolve + shade ----
+    def resolve_and_shade(F, W, I, at_b):
+        """Shading for rays at a boundary with a completed segment. Returns
+        (o, d, trans, incoming, seed, continues_path) — continues_path means
+        the path survives into another segment."""
         o, d = F[:, 0:3], F[:, 3:6]
         trans, incoming = F[:, 6:10], F[:, 10:14]
-        seed = jax.lax.bitcast_convert_type(I[:, 0], jnp.uint32)
-        bounce = I[:, 1]
+        seed = jax.lax.bitcast_convert_type(I[:, I_SEED], jnp.uint32)
+        bounce = I[:, I_BOUNCE]
         started = bounce >= 0
 
-        # ---- resolve segment hit record
-        seg_tri = I[:, 7]
-        seg_mat_mesh = I[:, 8]
-        won_inst = I[:, 9]   # raw instance index for mesh winners
+        seg_tri = I[:, I_STRI]
         hit_mesh = seg_tri >= 0
         attr = fetch_rows(scene.tri_attr, jnp.maximum(seg_tri, 0))
-        m2w = m2w_raw(jnp.clip(won_inst, 0, scene.n_instances - 1))
+        m2w = m2w_raw(jnp.clip(I[:, I_FLAG], 0, scene.n_instances - 1))
         u, v, det = W[:, 1], W[:, 2], W[:, 3]
         w_bar = 1.0 - u - v
         n_model = normalize(attr[:, 0:3] * w_bar[:, None]
@@ -250,27 +218,17 @@ def trace_batch_flat(scene: RenderScene, origin, direction, seed, *,
         uv_mesh = (attr[:, 9:11] * w_bar[:, None] + attr[:, 11:13] * u[:, None]
                    + attr[:, 13:15] * v[:, None])
 
+        sphere_won = seg_tri == -2
         hit = dict(
-            hit=hit_mesh & started & at_b,
+            hit=(hit_mesh | sphere_won) & started & at_b,
             dst=W[:, 0],
             point=W[:, 4:7],
-            normal=n_world,
-            uv=uv_mesh,
-            backface=det < 0.0,
-            mat_id=seg_mat_mesh,
+            normal=jnp.where(sphere_won[:, None], W[:, 7:10], n_world),
+            uv=jnp.where(sphere_won[:, None], W[:, 10:12], uv_mesh),
+            backface=jnp.where(sphere_won, I[:, I_FLAG] > 0, det < 0.0),
+            mat_id=I[:, I_SMAT],
         )
-        # fold in the segment prepass results stored in W cols 7:12?  The
-        # prepass for THIS segment ran at the previous boundary and its best
-        # was already merged into W/I (same record layout as mesh hits when
-        # sphere_won encoded via seg_tri == -2).  Sphere hits carry their
-        # normal/uv in W[4:7]/W[10:12] directly.
-        sphere_won = seg_tri == -2
-        hit["hit"] = (hit_mesh | sphere_won) & started & at_b
-        hit["normal"] = jnp.where(sphere_won[:, None], W[:, 7:10], n_world)
-        hit["uv"] = jnp.where(sphere_won[:, None], W[:, 10:12], uv_mesh)
-        hit["backface"] = jnp.where(sphere_won, I[:, 9] > 0, det < 0.0)
 
-        # ---- shading (identical physics to kernels/trace.py) ----------
         alive = at_b & started & (bounce <= bounces)
         missed = alive & ~hit["hit"]
         if skybox:
@@ -346,17 +304,19 @@ def trace_batch_flat(scene: RenderScene, origin, direction, seed, *,
                              new_incoming, incoming)
         seed = jnp.where(shading, new_seed, seed)
 
-        # next-segment viability: first boundary (bounce -1) always starts
         next_bounce = bounce + 1
-        continues = at_b & (
-            (~started) | (shading & survive)) & (next_bounce <= bounces)
-        dies = at_b & ~continues
+        continues_path = at_b & started & shading & survive \
+            & (next_bounce <= bounces)
+        return o, d, trans, incoming, seed, continues_path
 
-        # ---- prepass for the NEW segment: spheres + brute instances ----
+    # ---------------------------------------- segment prepass --------
+    def segment_prepass(o, d):
+        """Spheres + brute-force instances for a new segment with ray (o, d).
+        Returns (W_new, M_new, seg_tri, seg_mat, seg_flag)."""
         seg_dst = jnp.full((B,), INF)
         seg_tri2 = jnp.full((B,), -1, jnp.int32)
         seg_mat2 = jnp.zeros((B,), jnp.int32)
-        seg_flag2 = jnp.zeros((B,), jnp.int32)   # sphere backface flag
+        seg_flag2 = jnp.zeros((B,), jnp.int32)
         seg_point = jnp.zeros((B, 3))
         seg_norm = jnp.zeros((B, 3))
         seg_uv = jnp.zeros((B, 2))
@@ -412,59 +372,255 @@ def trace_batch_flat(scene: RenderScene, origin, direction, seed, *,
             seg_point = jnp.where(better[:, None], world_hp, seg_point)
             seg_inst = jnp.where(better, i, seg_inst)
 
-        # brute mesh winners need attr resolution at the NEXT boundary via
-        # tri index; sphere winners carry normal/uv inline.
         W_new = jnp.concatenate([
             seg_dst[:, None], seg_u[:, None], seg_v[:, None],
             seg_det[:, None], seg_point, seg_norm, seg_uv], axis=1)
-        I_flag = jnp.where(seg_tri2 == -2, seg_flag2, seg_inst)
+        seg_flag = jnp.where(seg_tri2 == -2, seg_flag2, seg_inst)
 
-        # enter the first BVH instance
         w2m0 = scene.inst_world_to_model[bvh_ids[0]]
         om0 = _mat4_apply(w2m0, o, 1)
         dm0 = normalize(_mat4_apply(w2m0, d, 0))
         M_new = jnp.concatenate([om0, dm0, jnp.full((B, 1), INF),
                                  jnp.zeros((B, 3))], axis=1)
+        return W_new, M_new, seg_tri2, seg_mat2, seg_flag
 
-        cb = continues[:, None]
+    def start_segments(F, M, W, I, starts, o, d, trans, incoming, seed,
+                       new_bounce):
+        """Apply the prepass + per-segment state reset for rays in ``starts``
+        (their new ray is (o, d))."""
+        W_new, M_new, seg_tri2, seg_mat2, seg_flag = segment_prepass(o, d)
+        sb = starts[:, None]
         F = jnp.concatenate([o, d, trans, incoming], axis=1)
-        M = jnp.where(cb, M_new, M)
-        W = jnp.where(cb, W_new, W)
-        I = I.at[:, 0].set(jax.lax.bitcast_convert_type(seed, jnp.int32))
-        I = I.at[:, 1].set(jnp.where(dies, DONE,
-                                     jnp.where(continues, next_bounce,
-                                               I[:, 1])))
-        I = I.at[:, 2].add(continues.astype(jnp.int32))
-        I = I.at[:, 3].set(jnp.where(continues, root_for(jnp.zeros(
-            (B,), jnp.int32)), jnp.where(dies, -1, I[:, 3])))
-        I = I.at[:, 4].set(jnp.where(continues, 0,
-                                     jnp.where(dies, n_bvh, I[:, 4])))
-        I = I.at[:, 5].set(jnp.where(continues, -1, I[:, 5]))
-        I = I.at[:, 7].set(jnp.where(continues, seg_tri2, I[:, 7]))
-        I = I.at[:, 8].set(jnp.where(continues, seg_mat2, I[:, 8]))
-        I = I.at[:, 9].set(jnp.where(continues, I_flag, I[:, 9]))
+        M = jnp.where(sb, M_new, M)
+        W = jnp.where(sb, W_new, W)
+        I = I.at[:, I_SEED].set(jax.lax.bitcast_convert_type(seed, jnp.int32))
+        I = I.at[:, I_BOUNCE].set(jnp.where(starts, new_bounce, I[:, I_BOUNCE]))
+        I = I.at[:, I_SEGS].add(starts.astype(jnp.int32))
+        I = I.at[:, I_CUR].set(jnp.where(
+            starts, root_for(jnp.zeros((B,), jnp.int32)), I[:, I_CUR]))
+        I = I.at[:, I_PTR].set(jnp.where(starts, 0, I[:, I_PTR]))
+        I = I.at[:, I_TRI].set(jnp.where(starts, -1, I[:, I_TRI]))
+        I = I.at[:, I_STRI].set(jnp.where(starts, seg_tri2, I[:, I_STRI]))
+        I = I.at[:, I_SMAT].set(jnp.where(starts, seg_mat2, I[:, I_SMAT]))
+        I = I.at[:, I_FLAG].set(jnp.where(starts, seg_flag, I[:, I_FLAG]))
         return F, M, W, I
 
-    # ------------------------------------------------------- loop ----
+    return dict(n_bvh=n_bvh, traversal_step=traversal_step,
+                advance_instance=advance_instance,
+                resolve_and_shade=resolve_and_shade,
+                start_segments=start_segments)
+
+
+def _i0(B, seed, n_bvh, bounce0):
+    return jnp.stack([
+        jax.lax.bitcast_convert_type(seed, jnp.int32),
+        jnp.full((B,), bounce0, jnp.int32),
+        jnp.zeros((B,), jnp.int32),
+        jnp.full((B,), -1, jnp.int32),
+        jnp.full((B,), n_bvh, jnp.int32),
+        jnp.full((B,), -1, jnp.int32),
+        jnp.zeros((B,), jnp.int32),
+        jnp.full((B,), -1, jnp.int32),
+        jnp.zeros((B,), jnp.int32),
+        jnp.zeros((B,), jnp.int32),
+        jnp.zeros((B,), jnp.int32),
+        jnp.zeros((B,), jnp.int32),
+        jnp.full((B,), -1, jnp.int32),   # pixel
+        jnp.zeros((B,), jnp.int32),      # sample index
+        jnp.zeros((B,), jnp.int32),
+        jnp.zeros((B,), jnp.int32),
+    ], axis=1)
+
+
+def trace_batch_flat(scene: RenderScene, origin, direction, seed, *,
+                     bounces: int, skybox: bool):
+    """Drop-in replacement for trace_batch when the scene has BVH instances.
+    Returns (incoming (B,4), seed, segments (B,))."""
+    B = origin.shape[0]
+    direction = normalize(direction)
+    parts = _make_parts(scene, B, bounces, skybox)
+    n_bvh = parts["n_bvh"]
+    assert n_bvh >= 1
+
+    F0 = jnp.concatenate([origin, direction, jnp.ones((B, 4)),
+                          jnp.zeros((B, 4))], axis=1)
+    M0 = jnp.concatenate([jnp.zeros((B, 6)), jnp.full((B, 1), INF),
+                          jnp.zeros((B, 3))], axis=1)
+    W0 = jnp.concatenate([jnp.full((B, 1), INF), jnp.zeros((B, 11))], axis=1)
+    I0 = _i0(B, seed, n_bvh, -1)
+
+    def boundary(F, M, W, I):
+        at_b = (I[:, I_PTR] >= n_bvh) & (I[:, I_BOUNCE] != DONE)
+        o, d, trans, incoming, seed, continues_path = \
+            parts["resolve_and_shade"](F, W, I, at_b)
+        started = I[:, I_BOUNCE] >= 0
+        next_bounce = I[:, I_BOUNCE] + 1
+        continues = at_b & (~started | continues_path) \
+            & (next_bounce <= bounces)
+        dies = at_b & ~continues
+        F, M, W, I = parts["start_segments"](
+            F, M, W, I, continues, o, d, trans, incoming, seed,
+            jnp.where(continues, next_bounce, I[:, I_BOUNCE]))
+        I = I.at[:, I_BOUNCE].set(jnp.where(dies, DONE, I[:, I_BOUNCE]))
+        I = I.at[:, I_PTR].set(jnp.where(dies, n_bvh, I[:, I_PTR]))
+        I = I.at[:, I_CUR].set(jnp.where(dies, -1, I[:, I_CUR]))
+        return F, M, W, I
+
     def cond(state):
         it, F, M, W, I = state
-        return jnp.any(I[:, 1] != DONE)
+        return jnp.any(I[:, I_BOUNCE] != DONE)
 
     def body(state):
         it, F, M, W, I = state
-        F, M, W, I = traversal_step(F, M, W, I)
-        F, M, W, I = traversal_step(F, M, W, I)
-        F, M, W, I = advance_instance(F, M, W, I)
+        F, M, W, I = parts["traversal_step"](F, M, W, I)
+        F, M, W, I = parts["traversal_step"](F, M, W, I)
+        F, M, W, I = parts["advance_instance"](F, M, W, I)
 
-        at_boundary = (I[:, 4] >= n_bvh) & (I[:, 1] != DONE)
+        at_boundary = (I[:, I_PTR] >= n_bvh) & (I[:, I_BOUNCE] != DONE)
         run_boundary = ((it % SHADE_EVERY) == 0) & jnp.any(at_boundary)
         F, M, W, I = jax.lax.cond(run_boundary, boundary,
                                   lambda *s: s, F, M, W, I)
         return it + 1, F, M, W, I
 
-    it0 = jnp.int32(1)
-    _, F, M, W, I = jax.lax.while_loop(
-        cond, body, (it0, F0, M0, W0, I0))
+    _, F, M, W, I = jax.lax.while_loop(cond, body,
+                                       (jnp.int32(1), F0, M0, W0, I0))
     incoming = F[:, 10:14]
-    seed_out = jax.lax.bitcast_convert_type(I[:, 0], jnp.uint32)
-    return incoming, seed_out, I[:, 2]
+    seed_out = jax.lax.bitcast_convert_type(I[:, I_SEED], jnp.uint32)
+    return incoming, seed_out, I[:, I_SEGS]
+
+
+def render_persistent(scene: RenderScene, frames, *, width: int, height: int,
+                      bounces: int, rays_per_pixel: int, skybox: bool,
+                      row_start=0, rows: int | None = None,
+                      lanes: int = 16384):
+    """Persistent-lanes whole-image render. Returns ((rows, width, 4) image,
+    total traced segments). Pixel p maps to (x = p %% width,
+    y = row_start + p // width); RNG streams and sample continuation are
+    identical to the tiled path (frag(), ray_tracer.wgsl:473-500)."""
+    rows = height if rows is None else rows
+    total = rows * width
+    rpp = max(rays_per_pixel, 1)
+    B = lanes
+    parts = _make_parts(scene, B, bounces, skybox)
+    n_bvh = parts["n_bvh"]
+    assert n_bvh >= 1
+
+    cam = scene.cam_to_world
+    cam_origin = cam[:3, 3]
+    cam_right = cam[:3, 0]
+    cam_up = cam[:3, 1]
+    size = jnp.array([width, height], jnp.float32)
+    inv_size_x = 1.0 / jnp.float32(width)
+
+    def camera_ray(pixel, seed):
+        """frag() camera-ray generation for lane pixels (2 disk draws)."""
+        x = (pixel % width).astype(jnp.float32)
+        y = (row_start + pixel // width).astype(jnp.float32)
+        uv = jnp.stack([x, y], axis=1) / jnp.maximum(size - 1.0, 1.0)
+        local_focus = jnp.stack([
+            (uv[:, 0] - 0.5) * scene.view_params[0],
+            (uv[:, 1] - 0.5) * scene.view_params[1],
+            jnp.full((B,), scene.view_params[2]),
+        ], axis=1)
+        fp = local_focus @ cam[:3, :3].T + cam[:3, 3]
+        dj, seed = rng.rand_in_unit_disk(seed)
+        dj = dj * scene.defocus_strength * inv_size_x
+        o = cam_origin + cam_right * dj[:, :1] + cam_up * dj[:, 1:]
+        vj, seed = rng.rand_in_unit_disk(seed)
+        vj = vj * scene.diverge_strength * inv_size_x
+        fpj = fp + cam_right * vj[:, :1] + cam_up * vj[:, 1:]
+        d = normalize(fpj - o)
+        return o, d, seed
+
+    F0 = jnp.concatenate([jnp.zeros((B, 6)), jnp.ones((B, 4)),
+                          jnp.zeros((B, 4))], axis=1)
+    M0 = jnp.concatenate([jnp.ones((B, 6)), jnp.full((B, 1), INF),
+                          jnp.zeros((B, 3))], axis=1)
+    W0 = jnp.concatenate([jnp.full((B, 1), INF), jnp.zeros((B, 11))], axis=1)
+    I0 = _i0(B, jnp.zeros((B,), jnp.uint32), n_bvh, IDLE)
+    I0 = I0.at[:, I_SAMPLE].set(rpp - 1)  # first boundary claims a pixel
+    A0 = jnp.zeros((B, 4))                # per-pixel sample accumulator
+    out0 = jnp.zeros((total, 4), jnp.float32)
+
+    def boundary(F, M, W, I, A, out, cursor):
+        at_b = (I[:, I_PTR] >= n_bvh) & (I[:, I_BOUNCE] != DONE)
+        o, d, trans, incoming, seed, continues_path = \
+            parts["resolve_and_shade"](F, W, I, at_b)
+        bounce = I[:, I_BOUNCE]
+        idle = bounce == IDLE
+        next_bounce = bounce + 1
+        continues = at_b & ~idle & continues_path & (next_bounce <= bounces)
+        sample_end = at_b & ~continues
+
+        # ---- sample end: bank the sample, maybe start the next one ----
+        A = jnp.where((sample_end & ~idle)[:, None], A + incoming, A)
+        sample_i = I[:, I_SAMPLE]
+        more_samples = sample_end & ~idle & (sample_i + 1 < rpp)
+        pixel_done = sample_end & ~more_samples  # includes idle lanes
+
+        # pixel complete → scatter (each pixel owned by exactly one lane)
+        valid_px = pixel_done & (I[:, I_PIXEL] >= 0)
+        idx = jnp.where(valid_px, I[:, I_PIXEL], 0)
+        out = out.at[idx].add(jnp.where(valid_px[:, None],
+                                        A / jnp.float32(rpp), 0.0))
+
+        # claim new pixels from the cursor
+        claiming = pixel_done
+        rank = jnp.cumsum(claiming.astype(jnp.int32)) \
+            - claiming.astype(jnp.int32)
+        new_pixel = cursor + rank
+        got_job = claiming & (new_pixel < total)
+        cursor = cursor + jnp.sum(claiming.astype(jnp.int32))
+        cursor = jnp.minimum(cursor, total)
+
+        pixel = jnp.where(got_job, new_pixel, I[:, I_PIXEL])
+        fresh_seed = rng.seed_for_pixel(
+            ((row_start + pixel // width) * width + pixel % width
+             ).astype(jnp.uint32), frames)
+        seed = jnp.where(got_job, fresh_seed, seed)
+        sample_i = jnp.where(got_job, 0,
+                             jnp.where(more_samples, sample_i + 1, sample_i))
+        A = jnp.where(got_job[:, None], 0.0, A)
+
+        # new camera rays for restarted lanes (same draws as frag())
+        restart = got_job | more_samples
+        o_c, d_c, seed_c = camera_ray(pixel, seed)
+        o = jnp.where(restart[:, None], o_c, o)
+        d = jnp.where(restart[:, None], d_c, d)
+        seed = jnp.where(restart, seed_c, seed)
+        trans = jnp.where(restart[:, None], 1.0, trans)
+        incoming = jnp.where((restart | sample_end)[:, None], 0.0, incoming)
+
+        starts = continues | restart
+        new_bounce = jnp.where(restart, 0,
+                               jnp.where(continues, next_bounce, bounce))
+        F, M, W, I = parts["start_segments"](F, M, W, I, starts, o, d,
+                                             trans, incoming, seed, new_bounce)
+        I = I.at[:, I_PIXEL].set(pixel)
+        I = I.at[:, I_SAMPLE].set(sample_i)
+        retire = pixel_done & ~got_job
+        I = I.at[:, I_BOUNCE].set(jnp.where(retire, DONE, I[:, I_BOUNCE]))
+        I = I.at[:, I_PTR].set(jnp.where(retire, n_bvh, I[:, I_PTR]))
+        I = I.at[:, I_CUR].set(jnp.where(retire, -1, I[:, I_CUR]))
+        return F, M, W, I, A, out, cursor
+
+    def cond(state):
+        it, F, M, W, I, A, out, cursor = state
+        return jnp.any(I[:, I_BOUNCE] != DONE)
+
+    def body(state):
+        it, F, M, W, I, A, out, cursor = state
+        F, M, W, I = parts["traversal_step"](F, M, W, I)
+        F, M, W, I = parts["traversal_step"](F, M, W, I)
+        F, M, W, I = parts["advance_instance"](F, M, W, I)
+
+        at_boundary = (I[:, I_PTR] >= n_bvh) & (I[:, I_BOUNCE] != DONE)
+        run_boundary = ((it % SHADE_EVERY) == 0) & jnp.any(at_boundary)
+        F, M, W, I, A, out, cursor = jax.lax.cond(
+            run_boundary, boundary, lambda *s: s, F, M, W, I, A, out, cursor)
+        return it + 1, F, M, W, I, A, out, cursor
+
+    state = (jnp.int32(0), F0, M0, W0, I0, A0, out0, jnp.int32(0))
+    _, F, M, W, I, A, out, cursor = jax.lax.while_loop(cond, body, state)
+    segments = jnp.sum(I[:, I_SEGS].astype(jnp.float32))
+    return out.reshape(rows, width, 4), segments

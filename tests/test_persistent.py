@@ -1,0 +1,56 @@
+"""Persistent-lanes renderer must match the tiled/layered renderer exactly:
+same pixel seeds, same sample continuation, same physics."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from ray_tracer_2_tpu.kernels.megakernel import render_persistent
+from ray_tracer_2_tpu.kernels.trace import trace_pixels
+from ray_tracer_2_tpu.scene import scenes
+from ray_tracer_2_tpu.scene.render_scene import instantiate_scene
+
+from tests.conftest import require_asset
+
+
+@pytest.fixture(scope="module")
+def dragon_scene(assets):
+    require_asset(assets, "dragon.obj")
+    return instantiate_scene(scenes.obj_test()).render_scene
+
+
+@pytest.mark.parametrize("rpp", [1, 2])
+def test_persistent_matches_tiled(dragon_scene, rpp):
+    rs = dragon_scene
+    W, H = 32, 18
+    img_p, segs_p = render_persistent(rs, jnp.int32(3), width=W, height=H,
+                                      bounces=3, rays_per_pixel=rpp,
+                                      skybox=True, lanes=256)
+    xs, ys = np.meshgrid(np.arange(W), np.arange(H))
+    color, seg = trace_pixels(rs, jnp.asarray(xs.ravel(), jnp.int32),
+                              jnp.asarray(ys.ravel(), jnp.int32),
+                              jnp.int32(3), width=W, height=H, bounces=3,
+                              rays_per_pixel=rpp, skybox=True)
+    ref = np.asarray(color).reshape(H, W, 4)
+    got = np.asarray(img_p)
+    err = np.abs(got - ref).max(axis=-1)
+    frac = (err < 1e-4).mean()
+    assert frac >= 0.99, f"{frac:.2%} pixels match, max err {err.max()}"
+    assert abs(float(segs_p) - float(np.asarray(seg).sum())) \
+        <= 0.01 * float(segs_p) + 5
+
+
+def test_persistent_row_block(dragon_scene):
+    """row_start/rows slicing (multi-chip row blocks) matches the full image."""
+    rs = dragon_scene
+    W, H = 24, 16
+    full, _ = render_persistent(rs, jnp.int32(1), width=W, height=H,
+                                bounces=2, rays_per_pixel=1, skybox=True,
+                                lanes=128)
+    top, _ = render_persistent(rs, jnp.int32(1), width=W, height=H,
+                               bounces=2, rays_per_pixel=1, skybox=True,
+                               row_start=0, rows=H // 2, lanes=128)
+    bot, _ = render_persistent(rs, jnp.int32(1), width=W, height=H,
+                               bounces=2, rays_per_pixel=1, skybox=True,
+                               row_start=H // 2, rows=H // 2, lanes=128)
+    np.testing.assert_allclose(np.asarray(full),
+                               np.concatenate([top, bot], axis=0), atol=1e-5)
