@@ -74,7 +74,7 @@ def _make_parts(scene: RenderScene, B: int, bounces: int, skybox: bool):
     bvh_ids = _bvh_instances(scene)
     n_bvh = len(bvh_ids)
     roots = [scene.inst_spans[i][0] for i in bvh_ids]
-    n_nodes = scene.node_count.shape[0]
+    n_nodes = max(scene.node_count.shape[0], 1)
     w2m_all = scene.inst_world_to_model
     m2w_all = scene.inst_model_to_world
     bvh_raw_ids = jnp.asarray(bvh_ids, jnp.int32)
@@ -93,9 +93,13 @@ def _make_parts(scene: RenderScene, B: int, bounces: int, skybox: bool):
         return _sel4x4(m2w_all, bvh_ids, ptr)
 
     def m2w_raw(raw):
+        if scene.n_instances == 0:  # no meshes anywhere: value never used
+            return jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (B, 4, 4))
         return _sel4x4(m2w_all, list(range(scene.n_instances)), raw)
 
     def root_for(ptr):
+        if n_bvh == 0:
+            return jnp.full((B,), -1, jnp.int32)
         out = jnp.full((B,), roots[0], jnp.int32)
         for k in range(1, n_bvh):
             out = jnp.where(ptr == k, roots[k], out)
@@ -158,6 +162,8 @@ def _make_parts(scene: RenderScene, B: int, bounces: int, skybox: bool):
 
     # ------------------------------------ instance advance (inline) --
     def advance_instance(F, M, W, I):
+        if n_bvh == 0:
+            return F, M, W, I
         cur = I[:, I_CUR]
         ptr = I[:, I_PTR]
         live = (I[:, I_BOUNCE] != DONE) & (I[:, I_BOUNCE] != IDLE)
@@ -377,11 +383,15 @@ def _make_parts(scene: RenderScene, B: int, bounces: int, skybox: bool):
             seg_det[:, None], seg_point, seg_norm, seg_uv], axis=1)
         seg_flag = jnp.where(seg_tri2 == -2, seg_flag2, seg_inst)
 
-        w2m0 = scene.inst_world_to_model[bvh_ids[0]]
-        om0 = _mat4_apply(w2m0, o, 1)
-        dm0 = normalize(_mat4_apply(w2m0, d, 0))
-        M_new = jnp.concatenate([om0, dm0, jnp.full((B, 1), INF),
-                                 jnp.zeros((B, 3))], axis=1)
+        if n_bvh:
+            w2m0 = scene.inst_world_to_model[bvh_ids[0]]
+            om0 = _mat4_apply(w2m0, o, 1)
+            dm0 = normalize(_mat4_apply(w2m0, d, 0))
+            M_new = jnp.concatenate([om0, dm0, jnp.full((B, 1), INF),
+                                     jnp.zeros((B, 3))], axis=1)
+        else:
+            M_new = jnp.concatenate([jnp.ones((B, 6)), jnp.full((B, 1), INF),
+                                     jnp.zeros((B, 3))], axis=1)
         return W_new, M_new, seg_tri2, seg_mat2, seg_flag
 
     def start_segments(F, M, W, I, starts, o, d, trans, incoming, seed,
@@ -502,8 +512,7 @@ def render_persistent(scene: RenderScene, frames, *, width: int, height: int,
     rpp = max(rays_per_pixel, 1)
     B = lanes
     parts = _make_parts(scene, B, bounces, skybox)
-    n_bvh = parts["n_bvh"]
-    assert n_bvh >= 1
+    n_bvh = parts["n_bvh"]  # 0 is fine: boundary-only loop (no traversal)
 
     cam = scene.cam_to_world
     cam_origin = cam[:3, 3]
@@ -610,14 +619,19 @@ def render_persistent(scene: RenderScene, frames, *, width: int, height: int,
 
     def body(state):
         it, F, M, W, I, A, out, cursor = state
-        F, M, W, I = parts["traversal_step"](F, M, W, I)
-        F, M, W, I = parts["traversal_step"](F, M, W, I)
-        F, M, W, I = parts["advance_instance"](F, M, W, I)
-
-        at_boundary = (I[:, I_PTR] >= n_bvh) & (I[:, I_BOUNCE] != DONE)
-        run_boundary = ((it % SHADE_EVERY) == 0) & jnp.any(at_boundary)
-        F, M, W, I, A, out, cursor = jax.lax.cond(
-            run_boundary, boundary, lambda *s: s, F, M, W, I, A, out, cursor)
+        if n_bvh:
+            F, M, W, I = parts["traversal_step"](F, M, W, I)
+            F, M, W, I = parts["traversal_step"](F, M, W, I)
+            F, M, W, I = parts["advance_instance"](F, M, W, I)
+            at_boundary = (I[:, I_PTR] >= n_bvh) & (I[:, I_BOUNCE] != DONE)
+            run_boundary = ((it % SHADE_EVERY) == 0) & jnp.any(at_boundary)
+            F, M, W, I, A, out, cursor = jax.lax.cond(
+                run_boundary, boundary, lambda *s: s,
+                F, M, W, I, A, out, cursor)
+        else:
+            # no BVH instances: every iteration is a boundary (prepass is
+            # the whole intersection work)
+            F, M, W, I, A, out, cursor = boundary(F, M, W, I, A, out, cursor)
         return it + 1, F, M, W, I, A, out, cursor
 
     state = (jnp.int32(0), F0, M0, W0, I0, A0, out0, jnp.int32(0))
