@@ -61,13 +61,13 @@ def render_sample(scene: RenderScene, frames, debug_scale, *, width: int,
     """
     rows = height if rows is None else rows
 
-    # BVH scenes render through the persistent-lanes megakernel: one fixed
-    # lane batch consumes the whole pixel queue, so per-pixel path-length
-    # variance never stalls a tile (kernels/megakernel.py).
-    from ray_tracer_2_tpu.kernels.megakernel import (
-        _bvh_instances, render_persistent,
-    )
-    if debug_mode == int(DebugMode.OFF) and _bvh_instances(scene):
+    # Lit renders go through the persistent-lanes megakernel: one fixed lane
+    # batch consumes the whole pixel queue, so per-pixel path-length variance
+    # never stalls a tile (kernels/megakernel.py). Debug modes use the
+    # deterministic tiled path below.
+    from ray_tracer_2_tpu.kernels.megakernel import render_persistent
+
+    if debug_mode == int(DebugMode.OFF):
         return render_persistent(
             scene, frames, width=width, height=height, bounces=bounces,
             rays_per_pixel=rays_per_pixel, skybox=skybox,
