@@ -29,7 +29,14 @@ def brute_force_intersect(scene: RenderScene, origin, direction,
 
     Returns the same record dict as traverse_bvh_packed (stats count every
     streamed triangle as tested).
+
+    With RT2_PALLAS_BRUTE=1 the streaming runs as a Pallas kernel with the
+    triangle table resident in VMEM (kernels/pallas_brute.py).
     """
+    from ray_tracer_2_tpu.kernels import pallas_brute
+
+    if pallas_brute.available():
+        return _brute_pallas(scene, origin, direction, tri_offset, tri_count)
     B = origin.shape[0]
     best = dict(
         dst=jnp.full((B,), INF),
@@ -65,3 +72,37 @@ def brute_force_intersect(scene: RenderScene, origin, direction,
         )
     stats = jnp.zeros((B, 2), jnp.int32).at[:, 1].set(tri_count)
     return dict(**best, stats=stats)
+
+
+def _brute_pallas(scene: RenderScene, origin, direction,
+                  tri_offset: int, tri_count: int):
+    from ray_tracer_2_tpu.kernels.pallas_brute import (
+        RAY_BLOCK, TRI_CHUNK, pallas_brute_intersect,
+    )
+
+    B = origin.shape[0]
+    sl = slice(tri_offset, tri_offset + tri_count)
+    cull = (jnp.take(scene.materials.flag, scene.tri_mat[sl]) != 1
+            ).astype(jnp.float32)
+    tris = jnp.concatenate([
+        scene.tri_v0[sl], scene.tri_v1[sl], scene.tri_v2[sl],
+        scene.tri_mat[sl].astype(jnp.float32)[:, None], cull[:, None],
+        jnp.zeros((tri_count, 5), jnp.float32)], axis=1)
+    pad_t = -(-tri_count // TRI_CHUNK) * TRI_CHUNK
+    tris = jnp.pad(tris, ((0, pad_t - tri_count), (0, 0)))
+
+    rays = jnp.concatenate([origin, direction, jnp.zeros((B, 2))], axis=1)
+    pad_b = -(-B // RAY_BLOCK) * RAY_BLOCK
+    rays = jnp.pad(rays, ((0, pad_b - B), (0, 0)))
+
+    out = pallas_brute_intersect(rays, tris, tri_count)[:B]
+    dst = out[:, 0]
+    got = dst < INF
+    stats = jnp.zeros((B, 2), jnp.int32).at[:, 1].set(tri_count)
+    return dict(
+        dst=dst,
+        tri=jnp.where(got, tri_offset + out[:, 5].astype(jnp.int32), -1),
+        u=out[:, 1], v=out[:, 2], det=out[:, 3],
+        mat=out[:, 4].astype(jnp.int32),
+        stats=stats,
+    )
