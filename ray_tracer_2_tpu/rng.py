@@ -39,11 +39,17 @@ def rand(seed):
 
 
 def rand_normal(seed):
-    """Box–Muller (cos branch) (ray_tracer.wgsl:181-185)."""
+    """Box–Muller (cos branch) (ray_tracer.wgsl:181-185).
+
+    The reference computes ``log(rand())`` unguarded; a draw of exactly 0
+    (expected every ~2^32 draws — a handful per converged 1080p frame) makes
+    it -inf and poisons the pixel with NaN forever. We clamp the draw to the
+    smallest positive value instead — same distribution, no NaN.
+    """
     u1, seed = rand(seed)
     u2, seed = rand(seed)
     theta = 2.0 * _PI * u1
-    rho = jnp.sqrt(-2.0 * jnp.log(u2))
+    rho = jnp.sqrt(-2.0 * jnp.log(jnp.maximum(u2, jnp.float32(2.33e-10))))
     return rho * jnp.cos(theta), seed
 
 

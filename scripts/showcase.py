@@ -54,8 +54,10 @@ def main():
             checkpoints[f + 1] = (time.perf_counter() - t0, np.asarray(fb))
     t1024 = checkpoints[1024][0]
     ref = np.clip(checkpoints[1024][1][..., :3], 0, 1)
+    results["cornell_nan_pixels"] = int(
+        (~np.isfinite(checkpoints[1024][1])).any(axis=-1).sum())
     for n in (64, 256):
-        e = float(np.sqrt(np.mean(
+        e = float(np.sqrt(np.nanmean(
             (np.clip(checkpoints[n][1][..., :3], 0, 1) - ref) ** 2)))
         results[f"cornell_rmse_{n}_vs_1024"] = round(e, 5)
     results["cornell_time_to_1024spp_s"] = round(t1024, 1)
