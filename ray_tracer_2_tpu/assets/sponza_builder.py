@@ -30,14 +30,20 @@ class _SoupBuilder:
 
     def quad_grid(self, material: str, origin, edge_u, edge_v, nu: int,
                   nv: int, uv_scale=(1.0, 1.0), flip=False):
-        """Tessellated parallelogram: origin + s*edge_u + t*edge_v."""
+        """Tessellated parallelogram: origin + s*edge_u + t*edge_v.
+
+        Emitted TWO-SIDED (both windings, each with its own facing normal):
+        the path tracer backface-culls non-glass triangles like the
+        reference (ray_tracer.wgsl:268), and an architectural substitute is
+        far more robust with visible interiors from every side. ``flip``
+        kept for signature compatibility (a two-sided quad ignores it).
+        """
+        del flip
         origin = np.asarray(origin, np.float64)
         eu = np.asarray(edge_u, np.float64)
         ev = np.asarray(edge_v, np.float64)
         n = np.cross(eu, ev)
         n = n / np.linalg.norm(n)
-        if flip:
-            n = -n
         for i in range(nu):
             for j in range(nv):
                 s0, s1 = i / nu, (i + 1) / nu
@@ -50,12 +56,13 @@ class _SoupBuilder:
                 u10 = (s1 * uv_scale[0], t0 * uv_scale[1])
                 u11 = (s1 * uv_scale[0], t1 * uv_scale[1])
                 u01 = (s0 * uv_scale[0], t1 * uv_scale[1])
-                if flip:
-                    self.add(material, p00, p01, p11, n, u00, u01, u11)
-                    self.add(material, p00, p11, p10, n, u00, u11, u10)
-                else:
-                    self.add(material, p00, p11, p01, n, u00, u11, u01)
-                    self.add(material, p00, p10, p11, n, u00, u10, u11)
+                # side A: winding (p00,p11,p01) has geometric normal
+                # +cross(eu,ev) under the kernel convention
+                self.add(material, p00, p11, p01, n, u00, u11, u01)
+                self.add(material, p00, p10, p11, n, u00, u10, u11)
+                # side B: reversed winding, normal -n
+                self.add(material, p00, p01, p11, -n, u00, u01, u11)
+                self.add(material, p00, p11, p10, -n, u00, u11, u10)
 
     def box(self, material: str, centre, size, nu=2, nv=2, uv_scale=(1, 1)):
         cx, cy, cz = np.asarray(centre, np.float64)
