@@ -67,10 +67,15 @@ def rand_direction(seed):
 
 def rand_hemisphere(normal, seed):
     """Direction in the hemisphere of ``normal`` via sign flip
-    (ray_tracer.wgsl:176-179)."""
+    (ray_tracer.wgsl:176-179).
+
+    The reference multiplies by ``sign(dot)``, which is 0 when the draw is
+    exactly perpendicular (a few times per converged 1080p frame in f32) and
+    zeroes the direction → NaN after normalize. We flip with >= 0 instead.
+    """
     d, seed = rand_direction(seed)
-    s = jnp.sign(jnp.sum(normal * d, axis=-1, keepdims=True))
-    return d * s, seed
+    flip = jnp.sum(normal * d, axis=-1, keepdims=True) >= 0.0
+    return jnp.where(flip, d, -d), seed
 
 
 def rand_in_unit_disk(seed):
