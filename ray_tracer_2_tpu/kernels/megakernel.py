@@ -502,7 +502,8 @@ def trace_batch_flat(scene: RenderScene, origin, direction, seed, *,
 def render_persistent(scene: RenderScene, frames, *, width: int, height: int,
                       bounces: int, rays_per_pixel: int, skybox: bool,
                       row_start=0, rows: int | None = None,
-                      lanes: int = 16384):
+                      lanes: int = 16384, unroll: int = 2,
+                      shade_every: int = SHADE_EVERY):
     """Persistent-lanes whole-image render. Returns ((rows, width, 4) image,
     total traced segments). Pixel p maps to (x = p %% width,
     y = row_start + p // width); RNG streams and sample continuation are
@@ -620,11 +621,11 @@ def render_persistent(scene: RenderScene, frames, *, width: int, height: int,
     def body(state):
         it, F, M, W, I, A, out, cursor = state
         if n_bvh:
-            F, M, W, I = parts["traversal_step"](F, M, W, I)
-            F, M, W, I = parts["traversal_step"](F, M, W, I)
+            for _ in range(unroll):
+                F, M, W, I = parts["traversal_step"](F, M, W, I)
             F, M, W, I = parts["advance_instance"](F, M, W, I)
             at_boundary = (I[:, I_PTR] >= n_bvh) & (I[:, I_BOUNCE] != DONE)
-            run_boundary = ((it % SHADE_EVERY) == 0) & jnp.any(at_boundary)
+            run_boundary = ((it % shade_every) == 0) & jnp.any(at_boundary)
             F, M, W, I, A, out, cursor = jax.lax.cond(
                 run_boundary, boundary, lambda *s: s,
                 F, M, W, I, A, out, cursor)
