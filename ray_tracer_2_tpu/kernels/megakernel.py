@@ -47,7 +47,7 @@ from ray_tracer_2_tpu.kernels.texture import sample_bilinear
 from ray_tracer_2_tpu.math.vec import dot, lerp, normalize, reflect, refract
 from ray_tracer_2_tpu.scene.render_scene import LEAF_CHUNK, RenderScene
 
-SHADE_EVERY = 4   # boundary phase cadence (iterations)
+SHADE_EVERY = 2   # boundary phase cadence (iterations; tuned on-chip)
 DONE = 1 << 20    # bounce sentinel for terminated rays
 IDLE = -2         # bounce sentinel for lanes awaiting a pixel claim
 
@@ -502,7 +502,7 @@ def trace_batch_flat(scene: RenderScene, origin, direction, seed, *,
 def render_persistent(scene: RenderScene, frames, *, width: int, height: int,
                       bounces: int, rays_per_pixel: int, skybox: bool,
                       row_start=0, rows: int | None = None,
-                      lanes: int = 16384, unroll: int = 2,
+                      lanes: int = 16384, unroll: int = 4,
                       shade_every: int = SHADE_EVERY):
     """Persistent-lanes whole-image render. Returns ((rows, width, 4) image,
     total traced segments). Pixel p maps to (x = p %% width,
