@@ -43,8 +43,23 @@ def dragon_scene():
     return instantiate_scene(s)
 
 
+def named_scene(name: str):
+    from ray_tracer_2_tpu.scene import scenes
+    from ray_tracer_2_tpu.scene.render_scene import instantiate_scene
+
+    if name == "dragon":
+        return dragon_scene()
+    builders = dict(cornell=scenes.cornell_box, sponza=scenes.sponza,
+                    random_balls=scenes.random_balls, room2=scenes.room_2,
+                    metal=scenes.metal, room=scenes.room, balls=scenes.balls)
+    return instantiate_scene(builders[name]())
+
+
 def main():
     ap = argparse.ArgumentParser()
+    ap.add_argument("--scene", default="dragon",
+                    choices=["dragon", "cornell", "sponza", "random_balls",
+                             "room2", "metal", "room", "balls"])
     ap.add_argument("--width", type=int, default=1920)
     ap.add_argument("--height", type=int, default=1080)
     ap.add_argument("--bounces", type=int, default=5)
@@ -58,7 +73,7 @@ def main():
     from ray_tracer_2_tpu.config import RenderParams
     from ray_tracer_2_tpu.engine.renderer import Renderer
 
-    host = dragon_scene()
+    host = named_scene(args.scene)
     kw = {}
     if args.tile_rows:
         kw["tile_rows"] = args.tile_rows
@@ -84,7 +99,9 @@ def main():
 
     mrays = total_rays / dt / 1e6
     print(json.dumps({
-        "metric": "dragon80k_1080p_path_throughput",
+        "metric": f"{args.scene}_1080p_path_throughput"
+                  if args.scene != "dragon" else
+                  "dragon80k_1080p_path_throughput",
         "value": round(mrays, 3),
         "unit": "Mrays/s/chip",
         "vs_baseline": round(mrays / 300.0, 4),
