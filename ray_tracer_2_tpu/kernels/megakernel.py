@@ -503,7 +503,7 @@ def render_persistent(scene: RenderScene, frames, *, width: int, height: int,
                       bounces: int, rays_per_pixel: int, skybox: bool,
                       row_start=0, rows: int | None = None,
                       lanes: int = 16384, unroll: int = 4,
-                      shade_every: int = SHADE_EVERY):
+                      shade_every: int = SHADE_EVERY, chains: int = 1):
     """Persistent-lanes whole-image render. Returns ((rows, width, 4) image,
     total traced segments). Pixel p maps to (x = p %% width,
     y = row_start + p // width); RNG streams and sample continuation are
@@ -621,8 +621,20 @@ def render_persistent(scene: RenderScene, frames, *, width: int, height: int,
     def body(state):
         it, F, M, W, I, A, out, cursor = state
         if n_bvh:
+            # ``chains`` > 1 interleaves independent lane sub-batches so
+            # their serialized gather chains can overlap. Measured a LOSS on
+            # chip (slice/concat overhead beats the overlap: 2.17s -> 2.49s
+            # on the dragon at chains=2), so the default stays 1; kept as a
+            # knob because the microbenchmark says the overlap is real
+            # (docs/PERF_NOTES.md).
+            h = lanes // chains
+            sub = [(F[c * h:(c + 1) * h], M[c * h:(c + 1) * h],
+                    W[c * h:(c + 1) * h], I[c * h:(c + 1) * h])
+                   for c in range(chains)]
             for _ in range(unroll):
-                F, M, W, I = parts["traversal_step"](F, M, W, I)
+                sub = [parts["traversal_step"](*s) for s in sub]
+            F, M, W, I = (jnp.concatenate([s[k] for s in sub], axis=0)
+                          for k in range(4))
             F, M, W, I = parts["advance_instance"](F, M, W, I)
             at_boundary = (I[:, I_PTR] >= n_bvh) & (I[:, I_BOUNCE] != DONE)
             run_boundary = ((it % shade_every) == 0) & jnp.any(at_boundary)
