@@ -66,46 +66,95 @@ def main():
     ap.add_argument("--rpp", type=int, default=1)
     ap.add_argument("--warmup", type=int, default=2)
     ap.add_argument("--frames", type=int, default=8)
-    ap.add_argument("--tile-rows", type=int, default=None)
-    ap.add_argument("--tile-cols", type=int, default=None)
+    # real megakernel knobs (persistent-lanes path — the lit-render path)
+    ap.add_argument("--lanes", type=int, default=None,
+                    help="persistent lane count (kernels/megakernel.py)")
+    ap.add_argument("--unroll", type=int, default=None,
+                    help="traversal steps fused per loop iteration")
+    ap.add_argument("--shade-every", type=int, default=None,
+                    help="boundary/shading phase cadence in iterations")
+    ap.add_argument("--mesh", type=int, default=0,
+                    help="render row-sharded over an N-device mesh "
+                         "(N > available devices is clamped; 0 = unsharded)")
     args = ap.parse_args()
 
     from ray_tracer_2_tpu.config import RenderParams
     from ray_tracer_2_tpu.engine.renderer import Renderer
 
     host = named_scene(args.scene)
-    kw = {}
-    if args.tile_rows:
-        kw["tile_rows"] = args.tile_rows
-    if args.tile_cols:
-        kw["tile_cols"] = args.tile_cols
-    renderer = Renderer(**kw)
     p = RenderParams(width=args.width, height=args.height,
                      bounces=args.bounces, rays_per_pixel=args.rpp,
                      skybox=True, frames=0)
 
+    if args.mesh:
+        n_chips, mrays = bench_sharded(host, p, args)
+    else:
+        n_chips = 1
+        renderer = Renderer(lanes=args.lanes, unroll=args.unroll,
+                            shade_every=args.shade_every)
+        for f in range(args.warmup):
+            fb = renderer.render(host.render_scene,
+                                 dataclasses.replace(p, frames=f))
+        fb.block_until_ready()
+
+        t0 = time.perf_counter()
+        total_rays = 0.0
+        for f in range(args.warmup, args.warmup + args.frames):
+            renderer.render(host.render_scene,
+                            dataclasses.replace(p, frames=f))
+            total_rays += float(renderer.last_segments)
+        renderer.framebuffer.block_until_ready()
+        dt = time.perf_counter() - t0
+        mrays = total_rays / dt / 1e6
+
+    print(json.dumps({
+        "metric": f"{args.scene}_1080p_path_throughput"
+                  if args.scene != "dragon" else
+                  "dragon80k_1080p_path_throughput",
+        "value": round(mrays / n_chips, 3),
+        "unit": "Mrays/s/chip",
+        "vs_baseline": round(mrays / n_chips / 300.0, 4),
+    }))
+
+
+def bench_sharded(host, p, args):
+    """Row-sharded multi-chip bench (parallel/sharding.py). On a single-chip
+    host this degenerates to mesh=1 == the unsharded number; on a pod slice
+    it scales by rows. Returns (n_chips, aggregate Mrays/s)."""
+    import jax
+    from ray_tracer_2_tpu.parallel.sharding import (
+        make_render_mesh, render_frame_sharded, replicate_scene,
+        shard_framebuffer,
+    )
+    import jax.numpy as jnp
+
+    n = min(args.mesh, len(jax.devices()))
+    while args.height % n:  # row blocks must divide the image height
+        n -= 1
+    mesh = make_render_mesh(n)
+    scene = replicate_scene(host.render_scene, mesh)
+    fb = shard_framebuffer(jnp.zeros((args.height, args.width, 4),
+                                     jnp.float32), mesh)
+
+    @jax.jit
+    def step(fb, f):
+        return render_frame_sharded(
+            scene, fb, f, 100.0, mesh=mesh, width=args.width,
+            height=args.height, bounces=args.bounces,
+            rays_per_pixel=args.rpp, skybox=True)
+
     for f in range(args.warmup):
-        fb = renderer.render(host.render_scene,
-                             dataclasses.replace(p, frames=f))
+        fb, segs = step(fb, jnp.int32(f))
     fb.block_until_ready()
 
     t0 = time.perf_counter()
     total_rays = 0.0
     for f in range(args.warmup, args.warmup + args.frames):
-        renderer.render(host.render_scene, dataclasses.replace(p, frames=f))
-        total_rays += float(renderer.last_segments)
-    renderer.framebuffer.block_until_ready()
+        fb, segs = step(fb, jnp.int32(f))
+        total_rays += float(segs)
+    fb.block_until_ready()
     dt = time.perf_counter() - t0
-
-    mrays = total_rays / dt / 1e6
-    print(json.dumps({
-        "metric": f"{args.scene}_1080p_path_throughput"
-                  if args.scene != "dragon" else
-                  "dragon80k_1080p_path_throughput",
-        "value": round(mrays, 3),
-        "unit": "Mrays/s/chip",
-        "vs_baseline": round(mrays / 300.0, 4),
-    }))
+    return n, total_rays / dt / 1e6
 
 
 if __name__ == "__main__":

@@ -63,13 +63,15 @@ class RenderParams:
 
     def for_render(self, is_moving: bool) -> "RenderParams":
         """Motion degradation (app.rs:58-73): while the camera moves, drop to
-        half resolution, 1 bounce, 1 ray/pixel for interactivity."""
+        half of the CURRENT resolution (min-clamped so tiny sessions stay
+        renderable), 1 bounce, 1 ray/pixel for interactivity. The reference
+        halves relative to the session size, not the 1080p constant."""
         if not is_moving:
             return self
         return dataclasses.replace(
             self,
             bounces=1,
             rays_per_pixel=1,
-            width=RENDER_SIZE[0] // 2,
-            height=RENDER_SIZE[1] // 2,
+            width=max(self.width // 2, 16),
+            height=max(self.height // 2, 16),
         )

@@ -20,7 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ray_tracer_2_tpu.config import DebugMode, RenderParams
-from ray_tracer_2_tpu.kernels.trace import debug_trace_pixels, trace_pixels
+from ray_tracer_2_tpu.kernels.trace import debug_trace_pixels
 from ray_tracer_2_tpu.scene.render_scene import RenderScene
 
 DEFAULT_TILE_ROWS = 64
@@ -29,17 +29,21 @@ DEFAULT_TILE_COLS = 256
 
 @partial(jax.jit, donate_argnums=(1,),
          static_argnames=("width", "height", "bounces", "rays_per_pixel",
-                          "skybox", "debug_mode", "tile_rows", "tile_cols"))
+                          "skybox", "debug_mode", "tile_rows", "tile_cols",
+                          "lanes", "unroll", "shade_every"))
 def render_frame(scene: RenderScene, framebuffer: jax.Array, frames: jax.Array,
                  debug_scale: jax.Array, *, width: int, height: int,
                  bounces: int, rays_per_pixel: int, skybox: bool,
-                 debug_mode: int, tile_rows: int, tile_cols: int | None = None):
+                 debug_mode: int, tile_rows: int, tile_cols: int | None = None,
+                 lanes: int | None = None, unroll: int | None = None,
+                 shade_every: int | None = None):
     """Render + accumulate one frame. framebuffer: (height, width, 4) f32.
     Returns (new framebuffer, traced-segment count scalar)."""
     sample, segments = render_sample(
         scene, frames, debug_scale, width=width, height=height,
         bounces=bounces, rays_per_pixel=rays_per_pixel, skybox=skybox,
-        debug_mode=debug_mode, tile_rows=tile_rows, tile_cols=tile_cols)
+        debug_mode=debug_mode, tile_rows=tile_rows, tile_cols=tile_cols,
+        lanes=lanes, unroll=unroll, shade_every=shade_every)
     # Progressive average (ray_tracer.wgsl:154-161): frames <= 0 ⇒ overwrite.
     weight = jnp.where(frames >= 1, 1.0 / (frames.astype(jnp.float32) + 1.0), 1.0)
     return framebuffer * (1.0 - weight) + sample * weight, segments
@@ -49,15 +53,19 @@ def render_sample(scene: RenderScene, frames, debug_scale, *, width: int,
                   height: int, bounces: int, rays_per_pixel: int,
                   skybox: bool, debug_mode: int, tile_rows: int,
                   tile_cols: int | None = None,
-                  row_start=0, rows: int | None = None) -> jax.Array:
+                  row_start=0, rows: int | None = None,
+                  lanes: int | None = None, unroll: int | None = None,
+                  shade_every: int | None = None) -> jax.Array:
     """Radiance for ``rows`` rows starting at ``row_start`` (no accumulation),
     (rows, width, 4). ``row_start`` may be traced (multi-chip row blocks);
     ``width``/``height`` always describe the FULL image (camera uv space).
 
-    Tiles are (tile_rows × tile_cols) pixel BLOCKS (tile_cols=None ⇒ full
-    width). Square-ish blocks matter: a tile's wall-clock is its slowest
-    ray's path, so tiles that miss the heavy geometry finish early instead
-    of being chained to it across the full image width.
+    ``lanes``/``unroll``/``shade_every`` tune the persistent-lanes megakernel
+    (the lit-render path); ``tile_rows``/``tile_cols`` shape the (tile_rows ×
+    tile_cols) pixel blocks of the deterministic tiled DEBUG path only.
+    Square-ish blocks matter there: a tile's wall-clock is its slowest ray's
+    path, so tiles that miss the heavy geometry finish early instead of being
+    chained to it across the full image width.
     """
     rows = height if rows is None else rows
 
@@ -65,13 +73,20 @@ def render_sample(scene: RenderScene, frames, debug_scale, *, width: int,
     # batch consumes the whole pixel queue, so per-pixel path-length variance
     # never stalls a tile (kernels/megakernel.py). Debug modes use the
     # deterministic tiled path below.
-    from ray_tracer_2_tpu.kernels.megakernel import render_persistent
+    from ray_tracer_2_tpu.kernels import megakernel
 
     if debug_mode == int(DebugMode.OFF):
-        return render_persistent(
+        kw = {}
+        if lanes is not None:
+            kw["lanes"] = lanes
+        if unroll is not None:
+            kw["unroll"] = unroll
+        if shade_every is not None:
+            kw["shade_every"] = shade_every
+        return megakernel.render_persistent(
             scene, frames, width=width, height=height, bounces=bounces,
             rays_per_pixel=rays_per_pixel, skybox=skybox,
-            row_start=row_start, rows=rows)
+            row_start=row_start, rows=rows, **kw)
 
     tile_cols = width if tile_cols is None else tile_cols
     n_ty = -(-rows // tile_rows)
@@ -90,17 +105,10 @@ def render_sample(scene: RenderScene, frames, debug_scale, *, width: int,
                                )[None, :], (tile_rows, tile_cols)).reshape(-1)
         # clamp out-of-image pixels (right/bottom padding) to stay in range
         xx = jnp.minimum(xx, width - 1)
-        if debug_mode != int(DebugMode.OFF):
-            color = debug_trace_pixels(scene, xx, yy, width=width, height=height,
-                                       debug_mode=debug_mode,
-                                       debug_scale=debug_scale)
-            segs = jnp.zeros((), jnp.float32)
-        else:
-            color, seg = trace_pixels(scene, xx, yy, frames, width=width,
-                                      height=height, bounces=bounces,
-                                      rays_per_pixel=rays_per_pixel,
-                                      skybox=skybox)
-            segs = jnp.sum(seg.astype(jnp.float32))
+        color = debug_trace_pixels(scene, xx, yy, width=width, height=height,
+                                   debug_mode=debug_mode,
+                                   debug_scale=debug_scale)
+        segs = jnp.zeros((), jnp.float32)
         return color.reshape(tile_rows, tile_cols, 4), segs
 
     tiles, segs = jax.lax.map(tile_fn, jnp.arange(n_ty * n_tx, dtype=jnp.int32))
@@ -114,9 +122,14 @@ class Renderer:
     (ref RayTracer, ray_tracer.rs:49-236 — minus the per-frame re-upload)."""
 
     def __init__(self, tile_rows: int = DEFAULT_TILE_ROWS,
-                 tile_cols: int | None = DEFAULT_TILE_COLS):
+                 tile_cols: int | None = DEFAULT_TILE_COLS,
+                 lanes: int | None = None, unroll: int | None = None,
+                 shade_every: int | None = None):
         self.tile_rows = tile_rows
         self.tile_cols = tile_cols
+        self.lanes = lanes
+        self.unroll = unroll
+        self.shade_every = shade_every
         self.framebuffer: jax.Array | None = None
         self.last_segments: jax.Array | None = None  # traced rays last frame
         self._fb_shape: tuple | None = None
@@ -138,6 +151,8 @@ class Renderer:
             skybox=bool(params.skybox),
             debug_mode=int(params.debug_mode),
             tile_rows=self.tile_rows, tile_cols=self.tile_cols,
+            lanes=self.lanes, unroll=self.unroll,
+            shade_every=self.shade_every,
         )
         return self.framebuffer
 

@@ -45,7 +45,8 @@ def render_frame_sharded(scene: RenderScene, framebuffer: jax.Array,
     """Render + accumulate one frame with the framebuffer row-sharded.
 
     framebuffer: (height, width, 4), height divisible by the mesh size.
-    Returns the updated framebuffer with the same sharding.
+    Returns (updated framebuffer with the same sharding, total traced
+    segments across all chips — one psum, outside the pixel hot loop).
     """
     n = mesh.shape["rows"]
     assert height % n == 0, f"height {height} not divisible by mesh size {n}"
@@ -56,16 +57,17 @@ def render_frame_sharded(scene: RenderScene, framebuffer: jax.Array,
     # the VMA checker rejects; the computation itself is purely per-shard.
     @partial(jax.shard_map, mesh=mesh,
              in_specs=(P(), P("rows"), P(), P()),
-             out_specs=P("rows"), check_vma=False)
+             out_specs=(P("rows"), P()), check_vma=False)
     def step(scene, fb_block, frames, dscale):
         row0 = jax.lax.axis_index("rows") * block
-        sample, _segs = render_sample(
+        sample, segs = render_sample(
             scene, frames, dscale, width=width, height=height,
             bounces=bounces, rays_per_pixel=rays_per_pixel, skybox=skybox,
             debug_mode=debug_mode, tile_rows=tile_rows,
             row_start=row0, rows=block)
         w = jnp.where(frames >= 1, 1.0 / (frames.astype(jnp.float32) + 1.0), 1.0)
-        return fb_block * (1.0 - w) + sample * w
+        return (fb_block * (1.0 - w) + sample * w,
+                jax.lax.psum(segs, "rows"))
 
     return step(scene, framebuffer, jnp.int32(frames), jnp.float32(debug_scale))
 
@@ -76,15 +78,16 @@ def render_frame_spp_sharded(scene: RenderScene, framebuffer: jax.Array,
                              skybox: bool, tile_rows: int = 8) -> jax.Array:
     """Accumulate one *round* of N samples per pixel (N = mesh size): chip i
     renders RNG frame ``frames*N + i``, partial images are mean-reduced with
-    one psum. The accumulation weight treats the round as N frames."""
+    one psum. The accumulation weight treats the round as N frames.
+    Returns (framebuffer, total traced segments across the round)."""
     n = mesh.shape["rows"]
 
     @partial(jax.shard_map, mesh=mesh,
              in_specs=(P(), P(), P()),
-             out_specs=P(), check_vma=False)
+             out_specs=(P(), P()), check_vma=False)
     def step(scene, fb, frames):
         my_frame = frames * n + jax.lax.axis_index("rows")
-        sample, _segs = render_sample(
+        sample, segs = render_sample(
             scene, my_frame, jnp.float32(1.0), width=width, height=height,
             bounces=bounces, rays_per_pixel=rays_per_pixel, skybox=skybox,
             debug_mode=0, tile_rows=tile_rows)
@@ -92,7 +95,7 @@ def render_frame_spp_sharded(scene: RenderScene, framebuffer: jax.Array,
         # Blend a whole round: frames counts rounds of n samples.
         w = jnp.where(frames >= 1,
                       n / (frames.astype(jnp.float32) * n + n), 1.0)
-        return fb * (1.0 - w) + mean * w
+        return fb * (1.0 - w) + mean * w, jax.lax.psum(segs, "rows")
 
     return step(scene, framebuffer, jnp.int32(frames))
 

@@ -38,14 +38,16 @@ def test_row_sharded_matches_single_device(scene):
 
     fb_sharded = shard_framebuffer(jnp.zeros((H, W, 4), jnp.float32), mesh)
     scene_rep = replicate_scene(scene, mesh)
-    sharded = render_frame_sharded(scene_rep, fb_sharded, 2, 1.0, mesh=mesh,
-                                   width=W, height=H, bounces=2,
-                                   rays_per_pixel=1, skybox=True,
-                                   tile_rows=4)
+    sharded, segs = render_frame_sharded(scene_rep, fb_sharded, 2, 1.0,
+                                         mesh=mesh, width=W, height=H,
+                                         bounces=2, rays_per_pixel=1,
+                                         skybox=True, tile_rows=4)
     # Same math, different XLA executables: agreement to float reassociation
     # noise (the RNG streams and hit logic are identical per pixel).
     np.testing.assert_allclose(np.asarray(single), np.asarray(sharded),
                                atol=1e-6, rtol=1e-6)
+    # exact segment counting survives sharding (one psum per frame)
+    assert float(segs) == float(_segs)
 
 
 def test_spp_sharded_converges(scene):
@@ -53,9 +55,9 @@ def test_spp_sharded_converges(scene):
     mesh = make_render_mesh()
     fb = jnp.zeros((H, W, 4), jnp.float32)
     scene_rep = replicate_scene(scene, mesh)
-    out = render_frame_spp_sharded(scene_rep, fb, 0, mesh=mesh, width=W,
-                                   height=H, bounces=2, rays_per_pixel=1,
-                                   skybox=True, tile_rows=4)
+    out, _ = render_frame_spp_sharded(scene_rep, fb, 0, mesh=mesh, width=W,
+                                      height=H, bounces=2, rays_per_pixel=1,
+                                      skybox=True, tile_rows=4)
     out = np.asarray(out)
     assert np.isfinite(out).all() and out[..., :3].max() > 0
     # 8-way spp mean should be visibly smoother than a single sample
@@ -74,7 +76,7 @@ def test_uneven_mesh_subset(scene):
     W, H = 16, 16
     mesh = make_render_mesh(4)
     fb = shard_framebuffer(jnp.zeros((H, W, 4), jnp.float32), mesh)
-    out = render_frame_sharded(replicate_scene(scene, mesh), fb, -1, 1.0,
-                               mesh=mesh, width=W, height=H, bounces=1,
-                               rays_per_pixel=1, skybox=True, tile_rows=4)
+    out, _ = render_frame_sharded(replicate_scene(scene, mesh), fb, -1, 1.0,
+                                  mesh=mesh, width=W, height=H, bounces=1,
+                                  rays_per_pixel=1, skybox=True, tile_rows=4)
     assert np.isfinite(np.asarray(out)).all()
