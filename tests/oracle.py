@@ -108,22 +108,72 @@ def reflectance(cos_theta, ior):
     return F(r0 + (1 - r0) * (1 - cos_theta) ** 5)
 
 
-def closest_hit(spheres, o, d):
+def ray_triangle(o, d, v0, v1, v2, cull):
+    """Scalar Möller–Trumbore, mirroring kernels/intersect.py:54-76."""
+    edge_ab = (v1 - v0).astype(F)
+    edge_ac = (v2 - v0).astype(F)
+    normal = np.cross(edge_ab, edge_ac).astype(F)
+    ao = (o - v0).astype(F)
+    dao = np.cross(ao, d).astype(F)
+    det = F(-np.dot(d, normal))
+    keep = det >= 1e-8 if cull else abs(det) >= 1e-8
+    if not keep:
+        return None
+    inv_det = F(1.0) / det
+    dst = F(np.dot(ao, normal) * inv_det)
+    u = F(np.dot(edge_ac, dao) * inv_det)
+    v = F(-np.dot(edge_ab, dao) * inv_det)
+    w = F(1.0 - u - v)
+    if not (dst > F(1e-5) and u >= 0.0 and v >= 0.0 and w >= 0.0):
+        return None
+    return dict(dst=dst, u=u, v=v, det=det)
+
+
+def closest_hit(spheres, o, d, meshes=()):
+    """World-space closest hit over spheres + mesh instances. Within an
+    instance the winner is the model-space closest (megakernel.py
+    advance_instance / segment_prepass semantics); across primitives the
+    comparison is the WORLD-space distance."""
     best = None
     for s in spheres:
         h = ray_sphere(o, d, s["pos"], s["radius"])
         if h is not None and (best is None or h["dst"] < best["dst"]):
             h["mat"] = s["mat"]
             best = h
+    for inst in meshes:
+        w2m, m2w = inst["w2m"], inst["m2w"]
+        o_m = (w2m[:3, :3] @ o + w2m[:3, 3]).astype(F)
+        d_m = normalize((w2m[:3, :3] @ d).astype(F))
+        ibest = None
+        for t in inst["tris"]:
+            h = ray_triangle(o_m, d_m, t["v0"], t["v1"], t["v2"], t["cull"])
+            if h is not None and (ibest is None or h["dst"] < ibest["dst"]):
+                h["tri"] = t
+                ibest = h
+        if ibest is None:
+            continue
+        local_hp = (o_m + d_m * ibest["dst"]).astype(F)
+        world_hp = (m2w[:3, :3] @ local_hp + m2w[:3, 3]).astype(F)
+        world_dst = F(np.linalg.norm(world_hp - o))
+        if best is not None and world_dst >= best["dst"]:
+            continue
+        t = ibest["tri"]
+        u, v = ibest["u"], ibest["v"]
+        w = F(1.0 - u - v)
+        n_model = normalize((t["n0"] * w + t["n1"] * u + t["n2"] * v
+                             ).astype(F)) * np.sign(ibest["det"]).astype(F)
+        n_world = normalize((m2w[:3, :3] @ n_model).astype(F))
+        best = dict(dst=world_dst, point=world_hp, normal=n_world,
+                    backface=bool(ibest["det"] < 0.0), mat=t["mat"])
     return best
 
 
-def trace(spheres, o, d, rng: Rng, bounces: int, skybox: bool):
+def trace(spheres, o, d, rng: Rng, bounces: int, skybox: bool, meshes=()):
     d = normalize(d)
     trans = np.ones(4, F)
     incoming = np.zeros(4, F)
     for _ in range(bounces + 1):
-        hit = closest_hit(spheres, o, d)
+        hit = closest_hit(spheres, o, d, meshes)
         if hit is None:
             if skybox:
                 incoming += trans * env_light(d)
@@ -165,7 +215,7 @@ def trace(spheres, o, d, rng: Rng, bounces: int, skybox: bool):
 
 
 def render_pixel(spheres, cam, x, y, width, height, frames, bounces,
-                 rpp, skybox):
+                 rpp, skybox, meshes=()):
     """frag() (ray_tracer.wgsl:473-500)."""
     pixel_index = int(F(y) * F(width) + F(x))
     rng = Rng((pixel_index + abs(frames) * 719393) & M32)
@@ -184,31 +234,56 @@ def render_pixel(spheres, cam, x, y, width, height, frames, bounces,
         vj = rng.disk() * cam["diverge_strength"] / F(width)
         jf = (fp + right * vj[0] + up * vj[1]).astype(F)
         d = normalize(jf - o)
-        total += trace(spheres, o, d, rng, bounces, skybox)
+        total += trace(spheres, o, d, rng, bounces, skybox, meshes)
     return total / F(rpp)
 
 
 def spheres_from_scene(rs) -> list[dict]:
     """Pull sphere + material data out of a RenderScene pytree."""
+    return [dict(pos=np.asarray(rs.sphere_pos[i], F),
+                 radius=F(rs.sphere_radius[i]),
+                 mat=_material_dict(rs.materials, int(rs.sphere_mat[i])))
+            for i in range(rs.n_spheres)]
+
+
+def _material_dict(mats, mid: int) -> dict:
+    return dict(
+        color=np.asarray(mats.color[mid], F),
+        emission_color=np.asarray(mats.emission_color[mid], F),
+        specular_color=np.asarray(mats.specular_color[mid], F),
+        absorption=np.asarray(mats.absorption[mid], F),
+        absorption_strength=F(mats.absorption_strength[mid]),
+        emission_strength=F(mats.emission_strength[mid]),
+        smoothness=F(mats.smoothness[mid]),
+        specular=F(mats.specular[mid]),
+        ior=F(mats.ior[mid]),
+        flag=int(mats.flag[mid]),
+    )
+
+
+def meshes_from_scene(rs) -> list[dict]:
+    """Pull mesh instances (triangles in leaf order + transforms) out of a
+    RenderScene pytree for the scalar oracle."""
     out = []
-    mats = rs.materials
-    for i in range(rs.n_spheres):
-        mid = int(rs.sphere_mat[i])
-        out.append(dict(
-            pos=np.asarray(rs.sphere_pos[i], F),
-            radius=F(rs.sphere_radius[i]),
-            mat=dict(
-                color=np.asarray(mats.color[mid], F),
-                emission_color=np.asarray(mats.emission_color[mid], F),
-                specular_color=np.asarray(mats.specular_color[mid], F),
-                absorption=np.asarray(mats.absorption[mid], F),
-                absorption_strength=F(mats.absorption_strength[mid]),
-                emission_strength=F(mats.emission_strength[mid]),
-                smoothness=F(mats.smoothness[mid]),
-                specular=F(mats.specular[mid]),
-                ior=F(mats.ior[mid]),
-                flag=int(mats.flag[mid]),
-            )))
+    v0 = np.asarray(rs.tri_v0, F)
+    v1 = np.asarray(rs.tri_v1, F)
+    v2 = np.asarray(rs.tri_v2, F)
+    n0 = np.asarray(rs.tri_n0, F)
+    n1 = np.asarray(rs.tri_n1, F)
+    n2 = np.asarray(rs.tri_n2, F)
+    tri_mat = np.asarray(rs.tri_mat)
+    flags = np.asarray(rs.materials.flag)
+    for i, (_node_off, tri_off, count) in enumerate(rs.inst_spans):
+        tris = []
+        for t in range(tri_off, tri_off + count):
+            mid = int(tri_mat[t])
+            tris.append(dict(v0=v0[t], v1=v1[t], v2=v2[t],
+                             n0=n0[t], n1=n1[t], n2=n2[t],
+                             cull=bool(flags[mid] != 1),
+                             mat=_material_dict(rs.materials, mid)))
+        out.append(dict(w2m=np.asarray(rs.inst_world_to_model[i], F),
+                        m2w=np.asarray(rs.inst_model_to_world[i], F),
+                        tris=tris))
     return out
 
 
