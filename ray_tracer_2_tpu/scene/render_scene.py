@@ -153,6 +153,12 @@ class HostScene:
     n_nodes: int
     #: per-entity material records (mutable; one row per entity)
     records: list = dataclasses.field(default_factory=list)
+    #: per-instance-group host Transform (kept so partial UI edits preserve
+    #: the untouched components — egui.rs:280-330 edits pos/rot/scale
+    #: independently)
+    inst_transforms: list = dataclasses.field(default_factory=list)
+    #: per-instance-group material ids (one per submesh part)
+    inst_material_ids: list = dataclasses.field(default_factory=list)
     #: per-group staging for cull-flag repacks: (bvh, v0, v1, v2, mats,
     #: node_offset, tri_offset) with leaf-ordered arrays
     _staging: list = dataclasses.field(default_factory=list)
@@ -190,9 +196,22 @@ class HostScene:
         if rec.flag != flag_before:
             self._repack_cull_flags()
 
-    def edit_instance_transform(self, index: int, transform) -> None:
+    def edit_instance_transform(self, index: int, transform=None, *,
+                                pos=None, rot=None, scale=None) -> None:
         """Move/rotate/scale a whole instance group (egui.rs:280-330 mesh
-        transform editor)."""
+        transform editor). Partial edits (only ``pos``/``rot``/``scale``)
+        merge into the stored host transform, so editing one component
+        preserves the others."""
+        if transform is None:
+            transform = self.inst_transforms[index].copy()
+            if pos is not None:
+                transform.pos = np.asarray(pos, np.float32)
+            if rot is not None:
+                transform.rot = np.asarray(rot, np.float32)
+            if scale is not None:
+                transform.scale = (np.asarray(scale, np.float32)
+                                   * np.ones(3, np.float32))
+        self.inst_transforms[index] = transform.copy()
         m = transform.to_matrix()
         inv = np.linalg.inv(m.astype(np.float64)).astype(np.float32)
         rs = self.render_scene
@@ -264,7 +283,8 @@ def instantiate_scene(definition: SceneDefinition,
 
         m = e.transform.to_matrix()
         key = m.tobytes()
-        group = raw_groups.setdefault(key, {"matrix": m, "parts": []})
+        group = raw_groups.setdefault(key, {"matrix": m, "parts": [],
+                                            "transform": e.transform})
         group["parts"].extend(parts)
 
     # ---- build per-group triangle soup + BVH ---------------------------
@@ -275,7 +295,7 @@ def instantiate_scene(definition: SceneDefinition,
     mat_flags = np.array([r.flag for r in records] or [0], np.int32)
 
     inst_w2m, inst_m2w, inst_node_off, inst_tri_off = [], [], [], []
-    inst_counts = []
+    inst_counts, inst_transforms, inst_mat_ids = [], [], []
     tri_arrays = {k: [] for k in
                   ("v0", "v1", "v2", "n0", "n1", "n2", "uv0", "uv1", "uv2", "mat")}
     node_arrays = {k: [] for k in ("min", "max", "left", "right", "first",
@@ -325,6 +345,8 @@ def instantiate_scene(definition: SceneDefinition,
         inst_node_off.append(node_cursor)
         inst_tri_off.append(tri_cursor)
         inst_counts.append(len(v0))
+        inst_transforms.append(group["transform"].copy())
+        inst_mat_ids.append(sorted({int(mid) for _, mid in group["parts"]}))
         tri_cursor += len(v0)
         node_cursor += bvh.n_nodes
 
@@ -427,6 +449,8 @@ def instantiate_scene(definition: SceneDefinition,
         n_triangles=n_tris,
         n_nodes=rs.n_nodes,
         records=records,
+        inst_transforms=inst_transforms,
+        inst_material_ids=inst_mat_ids,
         _staging=staging,
     )
 

@@ -102,34 +102,45 @@ class ViewerServer:
         if edit is not None:
             self._edit_entity(edit)
 
+    _MAT_FIELDS = ("color", "emission_color", "specular_color",
+                   "emission_strength", "smoothness", "specular", "ior",
+                   "flag", "absorption", "absorption_strength")
+
     def _edit_entity(self, edit: dict) -> None:
-        """Selected-entity property editing (egui.rs:156-365): sphere
-        position/radius and material fields; edits reset accumulation."""
+        """Selected-entity property editing — full parity with the reference
+        inspector (egui.rs:156-365): sphere position/radius, instance
+        position/rotation/scale (partial edits preserve the untouched
+        components), and material fields on both; edits reset accumulation."""
         scene = self.engine.scene_manager.scene
         if scene is None:
             return
         kind = edit.get("kind")
         idx = int(edit.get("index", 0))
+        mat_fields = {k: v for k, v in edit.items() if k in self._MAT_FIELDS}
         if kind == "sphere" and 0 <= idx < scene.n_spheres:
             if "centre" in edit or "radius" in edit:
                 scene.edit_sphere(idx, centre=edit.get("centre"),
                                   radius=edit.get("radius"))
-            mat_fields = {k: v for k, v in edit.items()
-                          if k in ("color", "emission_color", "specular_color",
-                                   "emission_strength", "smoothness",
-                                   "specular", "ior", "flag")}
             if mat_fields:
-                import numpy as np
                 mid = int(np.asarray(scene.render_scene.sphere_mat)[idx])
                 scene.edit_material(mid, **mat_fields)
         elif kind == "instance" and 0 <= idx < scene.n_instances:
-            if "transform_pos" in edit or "transform_scale" in edit:
-                from ray_tracer_2_tpu.math.transform import Transform
-                import numpy as np
-                cur = np.asarray(
-                    scene.render_scene.inst_model_to_world[idx])
-                pos = edit.get("transform_pos", cur[:3, 3].tolist())
-                scene.edit_instance_transform(idx, Transform(pos=pos))
+            rot = None
+            if "transform_rot" in edit:  # quaternion (x, y, z, w)
+                rot = edit["transform_rot"]
+            elif "transform_euler_deg" in edit:  # yaw/pitch/roll degrees
+                from ray_tracer_2_tpu.math.transform import quat_from_euler_yxz
+                y, p, r = (float(v) * np.pi / 180.0
+                           for v in edit["transform_euler_deg"])
+                rot = quat_from_euler_yxz(y, p, r)
+            if ("transform_pos" in edit or "transform_scale" in edit
+                    or rot is not None):
+                scene.edit_instance_transform(
+                    idx, pos=edit.get("transform_pos"), rot=rot,
+                    scale=edit.get("transform_scale"))
+            if mat_fields:
+                for mid in scene.inst_material_ids[idx]:
+                    scene.edit_material(mid, **mat_fields)
         self.engine.params = dataclasses.replace(self.engine.params, frames=-1)
 
     def _hotkey(self, key: str) -> None:
@@ -187,6 +198,8 @@ class ViewerServer:
             accumulated_frames=s.accumulated_frames,
             bvh_nodes=s.bvh_nodes, bvh_triangles=s.bvh_triangles,
             n_spheres=scene.n_spheres if scene else 0,
+            n_instances=scene.n_instances if scene else 0,
+            entities=self._entities(scene),
             scene=(eng.scene_manager.selected_scene.value
                    if eng.scene_manager.selected_scene else None),
             scenes=[n.value for n in SceneName.all()],
@@ -206,6 +219,28 @@ class ViewerServer:
                     if scene else None),
             frame_id=self._frame_id,
         )
+
+    def _entities(self, scene) -> dict:
+        """Entity listing for the inspector (egui.rs:156-179 selection)."""
+        if scene is None:
+            return dict(spheres=[], instances=[])
+        from ray_tracer_2_tpu.math.transform import quat_to_euler_yxz
+        rs = scene.render_scene
+        pos = np.asarray(rs.sphere_pos)
+        rad = np.asarray(rs.sphere_radius)
+        spheres = [dict(centre=[round(float(v), 3) for v in pos[i]],
+                        radius=round(float(rad[i]), 3))
+                   for i in range(scene.n_spheres)]
+        instances = []
+        for i, t in enumerate(scene.inst_transforms):
+            e = quat_to_euler_yxz(t.rot)
+            instances.append(dict(
+                pos=[round(float(v), 3) for v in t.pos],
+                euler_deg=[round(float(v) * 180.0 / np.pi, 1) for v in e],
+                scale=[round(float(v), 3) for v in t.scale],
+                triangles=scene.render_scene.inst_spans[i][2],
+                materials=scene.inst_material_ids[i]))
+        return dict(spheres=spheres, instances=instances)
 
     # ----------------------------------------------------------- server
 

