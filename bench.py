@@ -107,14 +107,27 @@ def main():
         dt = time.perf_counter() - t0
         mrays = total_rays / dt / 1e6
 
-    print(json.dumps({
+    out = {
         "metric": f"{args.scene}_1080p_path_throughput"
                   if args.scene != "dragon" else
                   "dragon80k_1080p_path_throughput",
         "value": round(mrays / n_chips, 3),
         "unit": "Mrays/s/chip",
         "vs_baseline": round(mrays / n_chips / 300.0, 4),
-    }))
+    }
+    # Geometry provenance: the reference mount omits large blobs
+    # (.MISSING_LARGE_BLOBS); these scenes run on engineered substitutes.
+    if args.scene == "dragon":
+        out["geometry"] = ("substitute: dragon.obj midpoint-subdivided to "
+                           "80k tris (identical surface)")
+    elif args.scene == "sponza":
+        out["geometry"] = ("substitute: procedural atrium with the real "
+                           "sponza.mtl materials/textures (sponza.obj absent"
+                           " from reference mount)")
+    elif args.scene == "room2":
+        out["geometry"] = ("substitute: Dragon_80K instances built from "
+                           "dragon.obj midpoint subdivision")
+    print(json.dumps(out))
 
 
 def bench_sharded(host, p, args):
