@@ -59,6 +59,10 @@ class FrameStats:
     accumulated_frames: int = 0
     bvh_nodes: int = 0
     bvh_triangles: int = 0
+    #: True when frame_time_ms/mrays_per_s come from a synchronous timing;
+    #: async frames report the dispatch->settle upper bound instead (the
+    #: previous frame is settled at the next update()).
+    timing_exact: bool = True
 
 
 class Engine:
@@ -82,6 +86,9 @@ class Engine:
         self._last_render_s = 0.0
         self._last_params = self.params
         self._scene_for_stats = None
+        self._pending_fb = None
+        self._pending_t0 = 0.0
+        self._timing_exact = True
         if initial_scene is not None:
             if block_on_initial_scene:
                 self.scene_manager.load_blocking(initial_scene)
@@ -123,23 +130,41 @@ class Engine:
         self.params, _ = self.params.update(moved)
         render_params = self.params.for_render(moved)
 
+        # Async mode: settle the PREVIOUS frame first. Its device work must
+        # finish before this dispatch reuses the donated framebuffer anyway,
+        # so blocking here is free — and (now - previous t0) upper-bounds the
+        # true device render time much tighter than the host loop dt did.
+        self._settle_pending()
+
         t0 = time.perf_counter()
         fb = self.renderer.render(scene.render_scene, render_params)
         if sync:
             fb.block_until_ready()
-        render_s = time.perf_counter() - t0
+            self._last_render_s = time.perf_counter() - t0
+            self._timing_exact = True
+        else:
+            self._pending_fb = fb
+            self._pending_t0 = t0
+            self._timing_exact = False
 
         self._frame_counter += 1
-        self._last_render_s = render_s if sync else dt
         self._last_params = render_params
         self._scene_for_stats = scene
         return fb
+
+    def _settle_pending(self) -> None:
+        if self._pending_fb is not None:
+            self._pending_fb.block_until_ready()
+            self._last_render_s = time.perf_counter() - self._pending_t0
+            self._pending_fb = None
 
     @property
     def stats(self) -> FrameStats:
         """Live metrics; reading syncs on the last frame's segment counter
         (cheap: a scalar transfer once the frame has drained)."""
         scene = getattr(self, "_scene_for_stats", None)
+        if scene is not None:
+            self._settle_pending()
         if scene is None:
             return self._stats
         segs = self.renderer.last_segments
@@ -155,6 +180,7 @@ class Engine:
             accumulated_frames=max(self.params.frames, 0),
             bvh_nodes=scene.n_nodes,
             bvh_triangles=scene.n_triangles,
+            timing_exact=self._timing_exact,
         )
         return self._stats
 
