@@ -1,0 +1,262 @@
+"""16-ary (wide) BVH rows with per-octant contiguous children.
+
+Round-2 traversal redesign (docs/PERF_NOTES.md "Round-2 measurement
+campaign"): XLA dependent gathers are throughput-bound at ~0.124 G rows/s
+regardless of row width up to 512 B, so FETCH COUNT is the only lever.
+Replayed on the real dragon BVH (scripts/sim_wide.py), a 16-ary collapse
+with a per-lane (base, hitmask) resume stack needs 8-9 row fetches per
+segment vs 29-34 for the binary skip-link scheme — 3.6x fewer. The naive
+wide alternative (skip-link threading, no stack) got WORSE with arity
+because missed later-siblings are passed through one fetch each.
+
+Layout (one f32[128] row per node, 8 octant table copies):
+
+  wide row  (COL_COUNT == 0)
+    12      base: first child row id (children CONTIGUOUS, octant order)
+    13      k: child count (<= 16)
+    16+6c   child c AABB min (3) then max (3), c in octant precedence
+            order (ascending centroid . sign(ray dir)); empty slots hold
+            inverted boxes so they can never hit
+  leaf row  (COL_COUNT > 0): identical to accel/packed.py leaf rows
+    (COL_FIRST/COL_MATS/COL_CULLS/COL_TRIS) so the megakernel's leaf
+    intersection code is shared between both traversals.
+
+Row ids are octant-LOCAL (each octant table numbers children contiguously
+in its own precedence order) — valid because a ray's octant is fixed for a
+whole model-space segment. The resume stack stores (base child-row id,
+remaining hit mask); resuming is `base + ctz(mask)` — no parent re-fetch.
+
+Reference contract: the traversal replaces the reference's per-ray stack
+walk (ray_tracer.wgsl:292-335) with visit-identical closest-hit semantics.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from ray_tracer_2_tpu.accel.bvh import BVH
+
+ROW_WIDTH = 128
+COL_BASE = 12
+COL_K = 13
+COL_COUNT = 15
+COL_FIRST = 16
+COL_MATS = 17
+COL_CULLS = 25
+COL_TRIS = 33
+COL_CHILD_AABB = 16   # wide rows only
+MAX_ARITY = 16
+
+
+@dataclasses.dataclass
+class WideBVH:
+    """Collapse result: wide nodes referencing binary node ids."""
+
+    children: list          # wide id -> list of binary node ids
+    wide_of: dict           # binary internal node id -> wide id
+    root_is_leaf: bool
+    depth: int              # max wide-tree depth (stack bound)
+
+
+def collapse(bvh: BVH, arity: int = MAX_ARITY) -> WideBVH:
+    """Collapse the binary BVH into <=arity-ary wide nodes by repeatedly
+    expanding the frontier's largest-subtree internal node."""
+    left, right = bvh.node_left, bvh.node_right
+    count = bvh.node_count
+    n = bvh.n_nodes
+    if n == 0 or count[0] > 0:
+        return WideBVH([], {}, True, 1)
+
+    tris = np.zeros(n, np.int64)
+    stack = [(0, False)]
+    while stack:
+        nd, done = stack.pop()
+        if done:
+            tris[nd] = (count[nd] if count[nd]
+                        else tris[left[nd]] + tris[right[nd]])
+            continue
+        stack.append((nd, True))
+        if count[nd] == 0:
+            stack.append((int(left[nd]), False))
+            stack.append((int(right[nd]), False))
+
+    children: list[list[int]] = []
+    wide_of: dict[int, int] = {}
+    depth = 1
+    pending = [(0, 1)]
+    while pending:
+        root, d = pending.pop()
+        depth = max(depth, d)
+        frontier = [int(left[root]), int(right[root])]
+        while len(frontier) < arity:
+            internals = [c for c in frontier if count[c] == 0]
+            if not internals:
+                break
+            big = max(internals, key=lambda c: tris[c])
+            frontier.remove(big)
+            frontier += [int(left[big]), int(right[big])]
+        wid = len(children)
+        children.append(frontier)
+        wide_of[root] = wid
+        for c in frontier:
+            if count[c] == 0:
+                pending.append((c, d + 1))
+    return WideBVH(children, wide_of, False, depth)
+
+
+_OCT_SIGNS = np.array([[1 - 2 * (o & 1), 1 - 2 * ((o >> 1) & 1),
+                        1 - 2 * ((o >> 2) & 1)] for o in range(8)],
+                      np.float32)
+
+
+def pack_wide_rows(bvh: BVH, v0, v1, v2, tri_mat, tri_cull,
+                   row_offset: int, tri_offset: int):
+    """Build the (8, R, 128) wide row tables for one group BVH.
+
+    v0/v1/v2/tri_mat/tri_cull are LEAF-ORDERED triangle arrays (permuted by
+    bvh.tri_order), exactly as for accel/packed.pack_octant_rows. Returns
+    (rows (8, R, 128) f32, n_rows, wide_depth)."""
+    wb = collapse(bvh)
+    count = bvh.node_count
+    left, right = bvh.node_left, bvh.node_right
+    centroid = (bvh.node_min + bvh.node_max) * 0.5
+
+    # ---- leaf row payloads (octant-invariant), one per binary leaf ------
+    def leaf_row(nd: int) -> np.ndarray:
+        r = np.zeros(ROW_WIDTH, np.float32)
+        first, k = int(bvh.node_first[nd]), int(count[nd])
+        r[COL_COUNT] = k
+        r[COL_FIRST] = first + tri_offset
+        n_tris = len(v0)
+        for j in range(8):
+            tri = min(first + j, max(n_tris - 1, 0))
+            valid = j < k
+            r[COL_MATS + j] = tri_mat[tri] if valid else 0.0
+            r[COL_CULLS + j] = tri_cull[tri] if valid else 1.0
+            o = COL_TRIS + j * 9
+            if valid:
+                r[o:o + 3] = v0[tri]
+                r[o + 3:o + 6] = v1[tri]
+                r[o + 6:o + 9] = v2[tri]
+        return r
+
+    if wb.root_is_leaf:
+        rows = np.zeros((8, 1, ROW_WIDTH), np.float32)
+        rows[:, 0] = leaf_row(0)
+        return rows, 1, 1
+
+    n_rows = 1 + sum(len(c) for c in wb.children)
+    rows = np.zeros((8, n_rows, ROW_WIDTH), np.float32)
+    leaf_cache: dict[int, np.ndarray] = {}
+
+    for oct_ in range(8):
+        s = _OCT_SIGNS[oct_]
+        # BFS numbering: children of each wide node contiguous
+        next_id = 1
+        queue = [(wb.wide_of[0], 0)]  # (wide id, its row id this octant)
+        while queue:
+            wid, rid = queue.pop(0)
+            kids = wb.children[wid]
+            order = sorted(range(len(kids)),
+                           key=lambda j: float(centroid[kids[j]] @ s))
+            base = next_id
+            next_id += len(kids)
+            r = rows[oct_, rid]
+            r[COL_BASE] = base
+            r[COL_K] = len(kids)
+            r[COL_COUNT] = 0.0
+            aab = r[COL_CHILD_AABB:COL_CHILD_AABB + 96].reshape(16, 6)
+            # empty slots: inverted boxes never hit
+            aab[:, 0:3] = np.inf
+            aab[:, 3:6] = -np.inf
+            for slot, j in enumerate(order):
+                c = kids[j]
+                aab[slot, 0:3] = bvh.node_min[c]
+                aab[slot, 3:6] = bvh.node_max[c]
+                crow = base + slot
+                if count[c] > 0:
+                    if c not in leaf_cache:
+                        leaf_cache[c] = leaf_row(c)
+                    rows[oct_, crow] = leaf_cache[c]
+                else:
+                    queue.append((wb.wide_of[c], crow))
+            r[COL_CHILD_AABB:COL_CHILD_AABB + 96] = aab.reshape(-1)
+
+    # globalize base ids
+    rows[:, :, COL_BASE] += np.where(rows[:, :, COL_COUNT] == 0.0,
+                                     row_offset, 0.0)
+    return rows, n_rows, wb.depth
+
+
+def traverse_wide_numpy(rows_oct: np.ndarray, o, d, t_limit=np.inf,
+                        depth: int = 16):
+    """Scalar reference traversal for tests: closest hit through one
+    octant's wide table (single group at row 0). Returns (dst, tri, u, v,
+    det, fetches)."""
+    INF = np.float32(1.7014118e38)
+    inv = 1.0 / np.where(np.abs(d) > 1e-30, d, 1e-30)
+    best = np.float32(min(t_limit, INF))
+    best_tri, best_u, best_v, best_det = -1, 0.0, 0.0, 0.0
+    stack: list[tuple[int, int]] = []
+    cur = 0
+    fetches = 0
+    while True:
+        r = rows_oct[cur]
+        fetches += 1
+        k = int(r[COL_COUNT])
+        descend = -1
+        if k > 0:  # leaf
+            for j in range(k):
+                s = COL_TRIS + j * 9
+                v0, v1, v2 = r[s:s+3], r[s+3:s+6], r[s+6:s+9]
+                e1, e2 = v1 - v0, v2 - v0
+                nrm = np.cross(e1, e2)
+                det = -np.dot(d, nrm)
+                cull = r[COL_CULLS + j] > 0.5
+                if (det < 1e-8) if cull else (abs(det) < 1e-8):
+                    continue
+                ao = o - v0
+                dao = np.cross(ao, d)
+                dst = np.dot(ao, nrm) / det
+                u = np.dot(e2, dao) / det
+                v = -np.dot(e1, dao) / det
+                if dst > 1e-5 and u >= 0 and v >= 0 and u + v <= 1 \
+                        and dst < best:
+                    best, best_tri = dst, int(r[COL_FIRST]) + j
+                    best_u, best_v, best_det = u, v, det
+        else:
+            aab = r[COL_CHILD_AABB:COL_CHILD_AABB + 96].reshape(16, 6)
+            mask = 0
+            for c in range(16):
+                t1 = (aab[c, 0:3] - o) * inv
+                t2 = (aab[c, 3:6] - o) * inv
+                tn = np.minimum(t1, t2).max()
+                tf = np.maximum(t1, t2).min()
+                if tf >= tn and tn < best and tf > 0:
+                    mask |= 1 << c
+            mask &= (1 << int(r[COL_K])) - 1  # drop empty slots
+            if mask:
+                base = int(r[COL_BASE])
+                low = mask & -mask
+                descend = base + int(low - 1).bit_count()
+                rem = mask & (mask - 1)
+                if rem:
+                    stack.append((base, rem))
+        if descend >= 0:
+            cur = descend
+            continue
+        # pop
+        while stack:
+            base, m = stack[-1]
+            low = m & -m
+            nxt = base + int(low - 1).bit_count()
+            rem = m & (m - 1)
+            if rem:
+                stack[-1] = (base, rem)
+            else:
+                stack.pop()
+            cur = nxt
+            break
+        else:
+            return (best, best_tri, best_u, best_v, best_det, fetches)

@@ -8,7 +8,8 @@ while_loop: each ray advances its own (segment, instance, node) state every
 iteration, and the expensive segment-boundary work (shading + RNG + sphere
 and brute-force prepass for the next segment) runs as a masked phase gated by
 ``lax.cond`` every SHADE_EVERY iterations, so its cost is amortized while
-traversal — one packed-row gather per step — stays the steady-state body.
+traversal — one 16-ary wide-row gather per step (accel/wide.py; 3.6x fewer
+dependent gathers than binary skip links) — stays the steady-state body.
 
 Two entry points share the same parts:
 
@@ -54,9 +55,9 @@ IDLE = -2         # bounce sentinel for lanes awaiting a pixel claim
 GLASS = 1
 TEXTURE = 2
 
-# I-state column map
+# I-state column map (I_SP = wide-traversal resume-stack pointer)
 I_SEED, I_BOUNCE, I_SEGS, I_CUR, I_PTR, I_TRI, I_MAT, I_STRI, I_SMAT, \
-    I_FLAG, I_SN, I_ST, I_PIXEL, I_SAMPLE, _IP1, _IP2 = range(16)
+    I_FLAG, I_SN, I_ST, I_PIXEL, I_SAMPLE, I_SP, _IP2 = range(16)
 
 
 def _bvh_instances(scene: RenderScene):
@@ -66,15 +67,15 @@ def _bvh_instances(scene: RenderScene):
 
 def _make_parts(scene: RenderScene, B: int, bounces: int, skybox: bool):
     """Build the shared kernel phases as closures over one (scene, B)."""
-    from ray_tracer_2_tpu.accel import packed as pk
     from ray_tracer_2_tpu.kernels.trace import (
         _gather_material, _mat4_apply, _reflectance, environment_light,
     )
 
     bvh_ids = _bvh_instances(scene)
     n_bvh = len(bvh_ids)
-    roots = [scene.inst_spans[i][0] for i in bvh_ids]
-    n_nodes = max(scene.node_count.shape[0], 1)
+    roots = [scene.wide_roots[i] for i in bvh_ids]
+    n_wide = max(scene.n_wide_rows, 1)
+    D = int(scene.wide_depth) + 2  # resume-stack depth (static)
     w2m_all = scene.inst_world_to_model
     m2w_all = scene.inst_model_to_world
     bvh_raw_ids = jnp.asarray(bvh_ids, jnp.int32)
@@ -106,7 +107,14 @@ def _make_parts(scene: RenderScene, B: int, bounces: int, skybox: bool):
         return out
 
     # ------------------------------------------------ traversal step --
-    def traversal_step(F, M, W, I):
+    # 16-ary wide rows + per-lane (base, hitmask) resume stack
+    # (accel/wide.py). Fetch count is the currency: 8-9 rows/segment vs
+    # 29-34 for the binary skip-link tables (scripts/sim_wide.py replay).
+    from ray_tracer_2_tpu.accel import wide as wd
+
+    stack_cols = jnp.arange(D, dtype=jnp.int32)[None, :]
+
+    def traversal_step(F, M, W, I, S):
         cur = I[:, I_CUR]
         active = cur >= 0
         om, dm = M[:, 0:3], M[:, 3:6]
@@ -115,27 +123,36 @@ def _make_parts(scene: RenderScene, B: int, bounces: int, skybox: bool):
                   + 2 * (dm[:, 1] < 0).astype(jnp.int32)
                   + 4 * (dm[:, 2] < 0).astype(jnp.int32))
         safe = jnp.where(active, cur, 0)
-        row = jnp.take(scene.packed_rows, octant * n_nodes + safe, axis=0)
+        row = jnp.take(scene.wide_rows, octant * n_wide + safe, axis=0)
 
         best_dst = M[:, 6]
-        count = row[:, pk.COL_COUNT]
+        count = row[:, wd.COL_COUNT]
         is_leaf = active & (count > 0.5)
-        is_int = active & (count < 0.5)
+        is_wide = active & (count < 0.5)
 
-        d_near = ray_aabb_dist(om, inv_dm, row[:, 0:3], row[:, 3:6], best_dst)
-        d_far = ray_aabb_dist(om, inv_dm, row[:, 6:9], row[:, 9:12], best_dst)
-        hit_near = is_int & (d_near < INF)
-        hit_far = is_int & (d_far < INF)
-        next_int = jnp.where(
-            hit_near, row[:, pk.COL_LINK_NEAR],
-            jnp.where(hit_far, row[:, pk.COL_LINK_FAR], row[:, pk.COL_SKIP]))
+        # ---- wide row: test up to 16 child slabs, build the hit mask ----
+        mask = jnp.zeros((B,), jnp.int32)
+        for c in range(16):
+            o = wd.COL_CHILD_AABB + 6 * c
+            dn = ray_aabb_dist(om, inv_dm, row[:, o:o + 3],
+                               row[:, o + 3:o + 6], best_dst)
+            mask = mask | ((dn < INF).astype(jnp.int32) << c)
+        k = row[:, wd.COL_K].astype(jnp.int32)
+        mask = mask & (jnp.left_shift(jnp.int32(1), k) - 1)
+        mask = jnp.where(is_wide, mask, 0)
+        base = row[:, wd.COL_BASE].astype(jnp.int32)
+        has = mask > 0
+        low = mask & -mask
+        child = base + jax.lax.population_count(jnp.maximum(low - 1, 0))
+        rem = mask ^ low
 
+        # ---- leaf row: identical inline 8-tri slab as the binary path ----
         best_u, best_v, best_det = M[:, 7], M[:, 8], M[:, 9]
         best_tri, best_mat = I[:, I_TRI], I[:, I_MAT]
-        first = row[:, pk.COL_FIRST].astype(jnp.int32)
+        first = row[:, wd.COL_FIRST].astype(jnp.int32)
         for j in range(LEAF_CHUNK):
-            o = pk.COL_TRIS + j * 9
-            cull = row[:, pk.COL_CULLS + j] > 0.5
+            o = wd.COL_TRIS + j * 9
+            cull = row[:, wd.COL_CULLS + j] > 0.5
             hit, dst, u, v, det = ray_triangle(
                 om, dm, row[:, o:o + 3], row[:, o + 3:o + 6],
                 row[:, o + 6:o + 9], cull)
@@ -145,20 +162,45 @@ def _make_parts(scene: RenderScene, B: int, bounces: int, skybox: bool):
             best_v = jnp.where(better, v, best_v)
             best_det = jnp.where(better, det, best_det)
             best_mat = jnp.where(better,
-                                 row[:, pk.COL_MATS + j].astype(jnp.int32),
+                                 row[:, wd.COL_MATS + j].astype(jnp.int32),
                                  best_mat)
             best_dst = jnp.where(better, dst, best_dst)
 
-        nxt = jnp.where(is_leaf, row[:, pk.COL_SKIP], next_int
-                        ).astype(jnp.int32)
+        # ---- stack: push the remaining-hits entry, or pop to resume ----
+        SB, SM = S[:, :D], S[:, D:]
+        sp = I[:, I_SP]
+        push = is_wide & has & (rem > 0)
+        at_sp = (stack_cols == sp[:, None]) & push[:, None]
+        SB = jnp.where(at_sp, base[:, None], SB)
+        SM = jnp.where(at_sp, rem[:, None], SM)
+        sp = sp + push.astype(jnp.int32)
+
+        finished = active & (is_leaf | (is_wide & ~has))
+        can_pop = finished & (sp > 0)
+        at_top = stack_cols == (sp - 1)[:, None]
+        top_b = jnp.sum(jnp.where(at_top, SB, 0), axis=1)
+        top_m = jnp.sum(jnp.where(at_top, SM, 0), axis=1)
+        plow = top_m & -top_m
+        pchild = top_b + jax.lax.population_count(jnp.maximum(plow - 1, 0))
+        prem = top_m ^ plow
+        SM = jnp.where(at_top & (can_pop & (prem > 0))[:, None],
+                       prem[:, None], SM)
+        sp = sp - (can_pop & (prem == 0)).astype(jnp.int32)
+
+        new_cur = jnp.where(is_wide & has, child,
+                            jnp.where(can_pop, pchild,
+                                      jnp.where(finished, -1, cur)))
+
         M = jnp.concatenate([om, dm, best_dst[:, None], best_u[:, None],
                              best_v[:, None], best_det[:, None]], axis=1)
-        I = I.at[:, I_CUR].set(jnp.where(active, nxt, cur))
+        S = jnp.concatenate([SB, SM], axis=1)
+        I = I.at[:, I_CUR].set(jnp.where(active, new_cur, cur))
+        I = I.at[:, I_SP].set(sp)
         I = I.at[:, I_TRI].set(best_tri)
         I = I.at[:, I_MAT].set(best_mat)
-        I = I.at[:, I_SN].add(jnp.where(is_int, 2, 0))
+        I = I.at[:, I_SN].add(jnp.where(is_wide, k, 0))
         I = I.at[:, I_ST].add(jnp.where(is_leaf, count.astype(jnp.int32), 0))
-        return F, M, W, I
+        return F, M, W, I, S
 
     # ------------------------------------ instance advance (inline) --
     def advance_instance(F, M, W, I):
@@ -198,6 +240,8 @@ def _make_parts(scene: RenderScene, B: int, bounces: int, skybox: bool):
                                          I[:, I_CUR]))
         I = I.at[:, I_TRI].set(jnp.where(entering, -1, I[:, I_TRI]))
         I = I.at[:, I_PTR].set(new_ptr)
+        # cur reaches -1 only with the resume stack drained, but enforce it
+        I = I.at[:, I_SP].set(jnp.where(entering, 0, I[:, I_SP]))
         return F, M, W, I
 
     # -------------------------------------------- resolve + shade ----
@@ -410,6 +454,7 @@ def _make_parts(scene: RenderScene, B: int, bounces: int, skybox: bool):
             starts, root_for(jnp.zeros((B,), jnp.int32)), I[:, I_CUR]))
         I = I.at[:, I_PTR].set(jnp.where(starts, 0, I[:, I_PTR]))
         I = I.at[:, I_TRI].set(jnp.where(starts, -1, I[:, I_TRI]))
+        I = I.at[:, I_SP].set(jnp.where(starts, 0, I[:, I_SP]))
         I = I.at[:, I_STRI].set(jnp.where(starts, seg_tri2, I[:, I_STRI]))
         I = I.at[:, I_SMAT].set(jnp.where(starts, seg_mat2, I[:, I_SMAT]))
         I = I.at[:, I_FLAG].set(jnp.where(starts, seg_flag, I[:, I_FLAG]))
@@ -418,7 +463,7 @@ def _make_parts(scene: RenderScene, B: int, bounces: int, skybox: bool):
     return dict(n_bvh=n_bvh, traversal_step=traversal_step,
                 advance_instance=advance_instance,
                 resolve_and_shade=resolve_and_shade,
-                start_segments=start_segments)
+                start_segments=start_segments, stack_depth=D)
 
 
 def _i0(B, seed, n_bvh, bounce0):
@@ -458,8 +503,9 @@ def trace_batch_flat(scene: RenderScene, origin, direction, seed, *,
                           jnp.zeros((B, 3))], axis=1)
     W0 = jnp.concatenate([jnp.full((B, 1), INF), jnp.zeros((B, 11))], axis=1)
     I0 = _i0(B, seed, n_bvh, -1)
+    S0 = jnp.zeros((B, 2 * parts["stack_depth"]), jnp.int32)
 
-    def boundary(F, M, W, I):
+    def boundary(F, M, W, I, S):
         at_b = (I[:, I_PTR] >= n_bvh) & (I[:, I_BOUNCE] != DONE)
         o, d, trans, incoming, seed, continues_path = \
             parts["resolve_and_shade"](F, W, I, at_b)
@@ -474,26 +520,26 @@ def trace_batch_flat(scene: RenderScene, origin, direction, seed, *,
         I = I.at[:, I_BOUNCE].set(jnp.where(dies, DONE, I[:, I_BOUNCE]))
         I = I.at[:, I_PTR].set(jnp.where(dies, n_bvh, I[:, I_PTR]))
         I = I.at[:, I_CUR].set(jnp.where(dies, -1, I[:, I_CUR]))
-        return F, M, W, I
+        return F, M, W, I, S
 
     def cond(state):
-        it, F, M, W, I = state
+        it, F, M, W, I, S = state
         return jnp.any(I[:, I_BOUNCE] != DONE)
 
     def body(state):
-        it, F, M, W, I = state
-        F, M, W, I = parts["traversal_step"](F, M, W, I)
-        F, M, W, I = parts["traversal_step"](F, M, W, I)
+        it, F, M, W, I, S = state
+        F, M, W, I, S = parts["traversal_step"](F, M, W, I, S)
+        F, M, W, I, S = parts["traversal_step"](F, M, W, I, S)
         F, M, W, I = parts["advance_instance"](F, M, W, I)
 
         at_boundary = (I[:, I_PTR] >= n_bvh) & (I[:, I_BOUNCE] != DONE)
         run_boundary = ((it % SHADE_EVERY) == 0) & jnp.any(at_boundary)
-        F, M, W, I = jax.lax.cond(run_boundary, boundary,
-                                  lambda *s: s, F, M, W, I)
-        return it + 1, F, M, W, I
+        F, M, W, I, S = jax.lax.cond(run_boundary, boundary,
+                                     lambda *s: s, F, M, W, I, S)
+        return it + 1, F, M, W, I, S
 
-    _, F, M, W, I = jax.lax.while_loop(cond, body,
-                                       (jnp.int32(1), F0, M0, W0, I0))
+    _, F, M, W, I, _S = jax.lax.while_loop(cond, body,
+                                           (jnp.int32(1), F0, M0, W0, I0, S0))
     incoming = F[:, 10:14]
     seed_out = jax.lax.bitcast_convert_type(I[:, I_SEED], jnp.uint32)
     return incoming, seed_out, I[:, I_SEGS]
@@ -503,7 +549,7 @@ def render_persistent(scene: RenderScene, frames, *, width: int, height: int,
                       bounces: int, rays_per_pixel: int, skybox: bool,
                       row_start=0, rows: int | None = None,
                       lanes: int = 16384, unroll: int = 4,
-                      shade_every: int = SHADE_EVERY, chains: int = 1):
+                      shade_every: int = SHADE_EVERY):
     """Persistent-lanes whole-image render. Returns ((rows, width, 4) image,
     total traced segments). Pixel p maps to (x = p %% width,
     y = row_start + p // width); RNG streams and sample continuation are
@@ -550,6 +596,7 @@ def render_persistent(scene: RenderScene, frames, *, width: int, height: int,
     I0 = _i0(B, jnp.zeros((B,), jnp.uint32), n_bvh, IDLE)
     I0 = I0.at[:, I_SAMPLE].set(rpp - 1)  # first boundary claims a pixel
     A0 = jnp.zeros((B, 4))                # per-pixel sample accumulator
+    S0 = jnp.zeros((B, 2 * parts["stack_depth"]), jnp.int32)
     out0 = jnp.zeros((total, 4), jnp.float32)
 
     def boundary(F, M, W, I, A, out, cursor):
@@ -615,26 +662,14 @@ def render_persistent(scene: RenderScene, frames, *, width: int, height: int,
         return F, M, W, I, A, out, cursor
 
     def cond(state):
-        it, F, M, W, I, A, out, cursor = state
+        it, F, M, W, I, S, A, out, cursor = state
         return jnp.any(I[:, I_BOUNCE] != DONE)
 
     def body(state):
-        it, F, M, W, I, A, out, cursor = state
+        it, F, M, W, I, S, A, out, cursor = state
         if n_bvh:
-            # ``chains`` > 1 interleaves independent lane sub-batches so
-            # their serialized gather chains can overlap. Measured a LOSS on
-            # chip (slice/concat overhead beats the overlap: 2.17s -> 2.49s
-            # on the dragon at chains=2), so the default stays 1; kept as a
-            # knob because the microbenchmark says the overlap is real
-            # (docs/PERF_NOTES.md).
-            h = lanes // chains
-            sub = [(F[c * h:(c + 1) * h], M[c * h:(c + 1) * h],
-                    W[c * h:(c + 1) * h], I[c * h:(c + 1) * h])
-                   for c in range(chains)]
             for _ in range(unroll):
-                sub = [parts["traversal_step"](*s) for s in sub]
-            F, M, W, I = (jnp.concatenate([s[k] for s in sub], axis=0)
-                          for k in range(4))
+                F, M, W, I, S = parts["traversal_step"](F, M, W, I, S)
             F, M, W, I = parts["advance_instance"](F, M, W, I)
             at_boundary = (I[:, I_PTR] >= n_bvh) & (I[:, I_BOUNCE] != DONE)
             run_boundary = ((it % shade_every) == 0) & jnp.any(at_boundary)
@@ -645,9 +680,9 @@ def render_persistent(scene: RenderScene, frames, *, width: int, height: int,
             # no BVH instances: every iteration is a boundary (prepass is
             # the whole intersection work)
             F, M, W, I, A, out, cursor = boundary(F, M, W, I, A, out, cursor)
-        return it + 1, F, M, W, I, A, out, cursor
+        return it + 1, F, M, W, I, S, A, out, cursor
 
-    state = (jnp.int32(0), F0, M0, W0, I0, A0, out0, jnp.int32(0))
-    _, F, M, W, I, A, out, cursor = jax.lax.while_loop(cond, body, state)
+    state = (jnp.int32(0), F0, M0, W0, I0, S0, A0, out0, jnp.int32(0))
+    _, F, M, W, I, _S, A, out, cursor = jax.lax.while_loop(cond, body, state)
     segments = jnp.sum(I[:, I_SEGS].astype(jnp.float32))
     return out.reshape(rows, width, 4), segments

@@ -88,6 +88,12 @@ class RenderScene:
     mat_rows: jax.Array          # (K, 32) f32 — packed material records
     tex_meta: jax.Array          # (64, 4) f32 — offset, h, w per texture slot
 
+    # 16-ary wide rows (accel/wide.py): 3.6x fewer dependent gathers than
+    # the binary skip-link tables; used by the megakernel's lit path. Row
+    # ids are octant-local (children contiguous per octant order); index =
+    # octant * n_wide_rows + row.
+    wide_rows: jax.Array         # (8*R, 128) f32
+
     materials: MaterialTable
 
     # Texture atlas (flat texel buffer + slot tables)
@@ -106,6 +112,12 @@ class RenderScene:
     #: kernel choose brute-force vs BVH per instance at trace time.
     inst_spans: tuple = dataclasses.field(metadata=dict(static=True),
                                           default=())
+    #: STATIC per-instance wide-table root row id (aligned with inst_spans;
+    #: -1 for brute-force groups) and the max wide-tree depth (stack bound).
+    wide_roots: tuple = dataclasses.field(metadata=dict(static=True),
+                                          default=())
+    wide_depth: int = dataclasses.field(metadata=dict(static=True),
+                                        default=4)
 
     @property
     def n_spheres(self) -> int:
@@ -122,6 +134,10 @@ class RenderScene:
     @property
     def n_nodes(self) -> int:
         return self.node_count.shape[0]
+
+    @property
+    def n_wide_rows(self) -> int:
+        return self.wide_rows.shape[0] // 8
 
     def with_camera(self, camera: Camera) -> "RenderScene":
         u = camera.to_uniform()
@@ -226,19 +242,29 @@ class HostScene:
 
     def _repack_cull_flags(self) -> None:
         from ray_tracer_2_tpu.accel.packed import ROW_WIDTH, pack_octant_rows
+        from ray_tracer_2_tpu.accel.wide import pack_wide_rows
 
         mat_flags = np.array([r.flag for r in self.records] or [0], np.int32)
         groups = []
+        wide_groups = []
+        wide_cursor = 0
         for (bvh, v0, v1, v2, mats, node_off, tri_off) in self._staging:
             cull = (mat_flags[mats] != 1).astype(np.float32)
             groups.append(pack_octant_rows(bvh, v0, v1, v2, mats, cull,
                                            node_offset=node_off,
                                            tri_offset=tri_off))
+            wrows, wn, _ = pack_wide_rows(bvh, v0, v1, v2, mats, cull,
+                                          row_offset=wide_cursor,
+                                          tri_offset=tri_off)
+            wide_groups.append(wrows)
+            wide_cursor += wn
         if not groups:
             return
         packed = np.concatenate(groups, axis=1).reshape(-1, ROW_WIDTH)
+        wide = np.concatenate(wide_groups, axis=1).reshape(-1, ROW_WIDTH)
         self.render_scene = dataclasses.replace(
-            self.render_scene, packed_rows=jnp.asarray(packed))
+            self.render_scene, packed_rows=jnp.asarray(packed),
+            wide_rows=jnp.asarray(wide))
 
 
 def instantiate_scene(definition: SceneDefinition,
@@ -290,6 +316,7 @@ def instantiate_scene(definition: SceneDefinition,
     # ---- build per-group triangle soup + BVH ---------------------------
     from ray_tracer_2_tpu.accel.threading import compute_skip_links
     from ray_tracer_2_tpu.accel.packed import pack_octant_rows
+    from ray_tracer_2_tpu.accel.wide import pack_wide_rows
 
     # Per-material backface-cull flag (cull unless GLASS — ray_tracer.wgsl:358,375)
     mat_flags = np.array([r.flag for r in records] or [0], np.int32)
@@ -301,6 +328,10 @@ def instantiate_scene(definition: SceneDefinition,
     node_arrays = {k: [] for k in ("min", "max", "left", "right", "first",
                                    "count", "lhit", "lmiss")}
     packed_groups = []
+    wide_groups = []
+    wide_root_list = []
+    wide_cursor = 0
+    wide_depth = 1
     staging = []
     bvh_stats = []
     tri_cursor = 0
@@ -323,6 +354,13 @@ def instantiate_scene(definition: SceneDefinition,
         packed_groups.append(pack_octant_rows(
             bvh, v0[o], v1[o], v2[o], mats[o], cull,
             node_offset=node_cursor, tri_offset=tri_cursor))
+        wrows, wn, wd = pack_wide_rows(bvh, v0[o], v1[o], v2[o], mats[o],
+                                       cull, row_offset=wide_cursor,
+                                       tri_offset=tri_cursor)
+        wide_groups.append(wrows)
+        wide_root_list.append(wide_cursor)
+        wide_cursor += wn
+        wide_depth = max(wide_depth, wd)
         staging.append((bvh, v0[o], v1[o], v2[o], mats[o],
                         node_cursor, tri_cursor))
         tri_arrays["v0"].append(v0[o]); tri_arrays["v1"].append(v1[o])
@@ -390,6 +428,10 @@ def instantiate_scene(definition: SceneDefinition,
         packed = np.concatenate(packed_groups, axis=1).reshape(-1, ROW_WIDTH)
     else:
         packed = np.zeros((0, ROW_WIDTH), np.float32)
+    if wide_groups:
+        wide = np.concatenate(wide_groups, axis=1).reshape(-1, ROW_WIDTH)
+    else:
+        wide = np.zeros((0, ROW_WIDTH), np.float32)
     tri_attr = pack_tri_attributes(tri["n0"], tri["n1"], tri["n2"],
                                    tri["uv0"], tri["uv1"], tri["uv2"])
 
@@ -425,6 +467,9 @@ def instantiate_scene(definition: SceneDefinition,
         node_first=jnp.asarray(nodes["first"]), node_count=jnp.asarray(nodes["count"]),
         link_hit=jnp.asarray(nodes["lhit"]), link_miss=jnp.asarray(nodes["lmiss"]),
         packed_rows=jnp.asarray(packed),
+        wide_rows=jnp.asarray(wide),
+        wide_roots=tuple(int(r) for r in wide_root_list),
+        wide_depth=int(wide_depth),
         tri_attr=jnp.asarray(tri_attr),
         mat_rows=jnp.asarray(mat_rows),
         tex_meta=jnp.asarray(tex_meta),

@@ -54,12 +54,12 @@ def run(P, K, N=16384, depth=48):
             t = jnp.broadcast_to(row, (P, 128)) * iv_ref[:] + b_ref[:]
             # slab: min/max across the two bound rows 3 lanes apart, then
             # across the three axes (static rolls)
-            tmin = jnp.minimum(t, pltpu.roll(t, -3, 1))
-            tmax = jnp.maximum(t, pltpu.roll(t, -3, 1))
-            tn = jnp.maximum(jnp.maximum(tmin, pltpu.roll(tmin, -1, 1)),
-                             pltpu.roll(tmin, -2, 1))
-            tf = jnp.minimum(jnp.minimum(tmax, pltpu.roll(tmax, -1, 1)),
-                             pltpu.roll(tmax, -2, 1))
+            tmin = jnp.minimum(t, pltpu.roll(t, 3, 1))
+            tmax = jnp.maximum(t, pltpu.roll(t, 3, 1))
+            tn = jnp.maximum(jnp.maximum(tmin, pltpu.roll(tmin, 1, 1)),
+                             pltpu.roll(tmin, 2, 1))
+            tf = jnp.minimum(jnp.minimum(tmax, pltpu.roll(tmax, 1, 1)),
+                             pltpu.roll(tmax, 2, 1))
             hit = (tf >= tn) & (tn < tbest)
             # child hit masks live at static lane slots 0 (near), 6 (far)
             near_any = jnp.any(hit[:, 0:1])
