@@ -209,6 +209,17 @@ def _make_parts(scene: RenderScene, B: int, bounces: int, skybox: bool):
         cur = I[:, I_CUR]
         ptr = I[:, I_PTR]
         live = (I[:, I_BOUNCE] != DONE) & (I[:, I_BOUNCE] != IDLE)
+        pending = (cur == -1) & (ptr < n_bvh) & live
+        # world-merge + re-transform only run when some lane finished its
+        # instance; with short wide-BVH segments this fires most iterations
+        # on 1-instance scenes but gates the cost on multi-instance ones
+        return jax.lax.cond(jnp.any(pending), _advance_impl,
+                            lambda *s: s, F, M, W, I)
+
+    def _advance_impl(F, M, W, I):
+        cur = I[:, I_CUR]
+        ptr = I[:, I_PTR]
+        live = (I[:, I_BOUNCE] != DONE) & (I[:, I_BOUNCE] != IDLE)
         at_end = (cur == -1) & (ptr < n_bvh) & live
 
         om, dm = M[:, 0:3], M[:, 3:6]
@@ -327,8 +338,13 @@ def _make_parts(scene: RenderScene, B: int, bounces: int, skybox: bool):
                                (m["smoothness"] * is_specular)[:, None]))
         incoming_n = incoming + emitted * trans
         textured = (m["flag"] == TEXTURE) & (m["diffuse_index"] != -1)
-        tex_color = sample_bilinear(scene.tex_texels, scene.tex_meta,
-                                    m["diffuse_index"], hit["uv"])
+        # texture fetches are the boundary's only gathers besides materials;
+        # skip them entirely when no lane shades a textured surface
+        tex_color = jax.lax.cond(
+            jnp.any(textured & shading),
+            lambda: sample_bilinear(scene.tex_texels, scene.tex_meta,
+                                    m["diffuse_index"], hit["uv"]),
+            lambda: m["color"])
         color = jnp.where(textured[:, None], tex_color, m["color"])
         trans_n = trans * jnp.where(is_specular[:, None],
                                     m["specular_color"], color)
