@@ -105,22 +105,22 @@ def collapse(bvh: BVH, arity: int = MAX_ARITY) -> WideBVH:
     return WideBVH(children, wide_of, False, depth)
 
 
-_OCT_SIGNS = np.array([[1 - 2 * (o & 1), 1 - 2 * ((o >> 1) & 1),
-                        1 - 2 * ((o >> 2) & 1)] for o in range(8)],
-                      np.float32)
-
-
 def pack_wide_rows(bvh: BVH, v0, v1, v2, tri_mat, tri_cull,
                    row_offset: int, tri_offset: int):
-    """Build the (8, R, 128) wide row tables for one group BVH.
+    """Build the CANONICAL (R, 128) wide row table for one group BVH.
+
+    One table, not eight octant copies: the v5e gather engine runs ~2.3x
+    faster from tables under its ~8-16 MB cliff (measured, PERF_NOTES
+    round-2 addendum), which beats any near-first gain from per-octant
+    child ordering. Near-first entry is preserved anyway: the kernel picks
+    the MINIMUM-DISTANCE hit child per ray at each wide node; only resume
+    order is positional, and resumed children are fetched either way (the
+    fetch count is order-invariant for the mask-stack scheme).
 
     v0/v1/v2/tri_mat/tri_cull are LEAF-ORDERED triangle arrays (permuted by
-    bvh.tri_order), exactly as for accel/packed.pack_octant_rows. Returns
-    (rows (8, R, 128) f32, n_rows, wide_depth)."""
+    bvh.tri_order). Returns (rows (R, 128) f32, n_rows, wide_depth)."""
     wb = collapse(bvh)
     count = bvh.node_count
-    left, right = bvh.node_left, bvh.node_right
-    centroid = (bvh.node_min + bvh.node_max) * 0.5
 
     # ---- leaf row payloads (octant-invariant), one per binary leaf ------
     def leaf_row(nd: int) -> np.ndarray:
@@ -142,58 +142,49 @@ def pack_wide_rows(bvh: BVH, v0, v1, v2, tri_mat, tri_cull,
         return r
 
     if wb.root_is_leaf:
-        rows = np.zeros((8, 1, ROW_WIDTH), np.float32)
-        rows[:, 0] = leaf_row(0)
+        rows = np.zeros((1, ROW_WIDTH), np.float32)
+        rows[0] = leaf_row(0)
         return rows, 1, 1
 
     n_rows = 1 + sum(len(c) for c in wb.children)
-    rows = np.zeros((8, n_rows, ROW_WIDTH), np.float32)
-    leaf_cache: dict[int, np.ndarray] = {}
+    rows = np.zeros((n_rows, ROW_WIDTH), np.float32)
 
-    for oct_ in range(8):
-        s = _OCT_SIGNS[oct_]
-        # BFS numbering: children of each wide node contiguous
-        next_id = 1
-        queue = [(wb.wide_of[0], 0)]  # (wide id, its row id this octant)
-        while queue:
-            wid, rid = queue.pop(0)
-            kids = wb.children[wid]
-            order = sorted(range(len(kids)),
-                           key=lambda j: float(centroid[kids[j]] @ s))
-            base = next_id
-            next_id += len(kids)
-            r = rows[oct_, rid]
-            r[COL_BASE] = base
-            r[COL_K] = len(kids)
-            r[COL_COUNT] = 0.0
-            aab = r[COL_CHILD_AABB:COL_CHILD_AABB + 96].reshape(16, 6)
-            # empty slots: inverted boxes never hit
-            aab[:, 0:3] = np.inf
-            aab[:, 3:6] = -np.inf
-            for slot, j in enumerate(order):
-                c = kids[j]
-                aab[slot, 0:3] = bvh.node_min[c]
-                aab[slot, 3:6] = bvh.node_max[c]
-                crow = base + slot
-                if count[c] > 0:
-                    if c not in leaf_cache:
-                        leaf_cache[c] = leaf_row(c)
-                    rows[oct_, crow] = leaf_cache[c]
-                else:
-                    queue.append((wb.wide_of[c], crow))
-            r[COL_CHILD_AABB:COL_CHILD_AABB + 96] = aab.reshape(-1)
+    # BFS numbering: children of each wide node contiguous
+    next_id = 1
+    queue = [(wb.wide_of[0], 0)]  # (wide id, its row id)
+    while queue:
+        wid, rid = queue.pop(0)
+        kids = wb.children[wid]
+        base = next_id
+        next_id += len(kids)
+        r = rows[rid]
+        r[COL_BASE] = base
+        r[COL_K] = len(kids)
+        r[COL_COUNT] = 0.0
+        aab = r[COL_CHILD_AABB:COL_CHILD_AABB + 96].reshape(16, 6)
+        # empty slots: inverted boxes never hit
+        aab[:, 0:3] = np.inf
+        aab[:, 3:6] = -np.inf
+        for slot, c in enumerate(kids):
+            aab[slot, 0:3] = bvh.node_min[c]
+            aab[slot, 3:6] = bvh.node_max[c]
+            crow = base + slot
+            if count[c] > 0:
+                rows[crow] = leaf_row(c)
+            else:
+                queue.append((wb.wide_of[c], crow))
 
     # globalize base ids
-    rows[:, :, COL_BASE] += np.where(rows[:, :, COL_COUNT] == 0.0,
-                                     row_offset, 0.0)
+    rows[:, COL_BASE] += np.where(rows[:, COL_COUNT] == 0.0, row_offset, 0.0)
     return rows, n_rows, wb.depth
 
 
 def traverse_wide_numpy(rows_oct: np.ndarray, o, d, t_limit=np.inf,
                         depth: int = 16):
-    """Scalar reference traversal for tests: closest hit through one
-    octant's wide table (single group at row 0). Returns (dst, tri, u, v,
-    det, fetches)."""
+    """Scalar reference traversal for tests: closest hit through the
+    canonical wide table (single group at row 0), entering the
+    minimum-distance hit child first like the kernel. Returns (dst, tri,
+    u, v, det, fetches)."""
     INF = np.float32(1.7014118e38)
     inv = 1.0 / np.where(np.abs(d) > 1e-30, d, 1e-30)
     best = np.float32(min(t_limit, INF))
@@ -228,19 +219,21 @@ def traverse_wide_numpy(rows_oct: np.ndarray, o, d, t_limit=np.inf,
         else:
             aab = r[COL_CHILD_AABB:COL_CHILD_AABB + 96].reshape(16, 6)
             mask = 0
+            dn_min, c_min = np.inf, -1
             for c in range(16):
                 t1 = (aab[c, 0:3] - o) * inv
                 t2 = (aab[c, 3:6] - o) * inv
                 tn = np.minimum(t1, t2).max()
                 tf = np.maximum(t1, t2).min()
-                if tf >= tn and tn < best and tf > 0:
+                if tf >= tn and tn < best and tf > 0 \
+                        and c < int(r[COL_K]):
                     mask |= 1 << c
-            mask &= (1 << int(r[COL_K])) - 1  # drop empty slots
+                    if tn < dn_min:
+                        dn_min, c_min = tn, c
             if mask:
                 base = int(r[COL_BASE])
-                low = mask & -mask
-                descend = base + int(low - 1).bit_count()
-                rem = mask & (mask - 1)
+                descend = base + c_min          # nearest hit child first
+                rem = mask & ~(1 << c_min)
                 if rem:
                     stack.append((base, rem))
         if descend >= 0:

@@ -48,7 +48,7 @@ from ray_tracer_2_tpu.kernels.texture import sample_bilinear
 from ray_tracer_2_tpu.math.vec import dot, lerp, normalize, reflect, refract
 from ray_tracer_2_tpu.scene.render_scene import LEAF_CHUNK, RenderScene
 
-SHADE_EVERY = 2   # boundary phase cadence (iterations; tuned on-chip)
+SHADE_EVERY = 1   # boundary phase cadence (retuned on-chip for wide rows)
 DONE = 1 << 20    # bounce sentinel for terminated rays
 IDLE = -2         # bounce sentinel for lanes awaiting a pixel claim
 
@@ -74,7 +74,6 @@ def _make_parts(scene: RenderScene, B: int, bounces: int, skybox: bool):
     bvh_ids = _bvh_instances(scene)
     n_bvh = len(bvh_ids)
     roots = [scene.wide_roots[i] for i in bvh_ids]
-    n_wide = max(scene.n_wide_rows, 1)
     D = int(scene.wide_depth) + 2  # resume-stack depth (static)
     w2m_all = scene.inst_world_to_model
     m2w_all = scene.inst_model_to_world
@@ -119,32 +118,36 @@ def _make_parts(scene: RenderScene, B: int, bounces: int, skybox: bool):
         active = cur >= 0
         om, dm = M[:, 0:3], M[:, 3:6]
         inv_dm = 1.0 / dm
-        octant = ((dm[:, 0] < 0).astype(jnp.int32)
-                  + 2 * (dm[:, 1] < 0).astype(jnp.int32)
-                  + 4 * (dm[:, 2] < 0).astype(jnp.int32))
         safe = jnp.where(active, cur, 0)
-        row = jnp.take(scene.wide_rows, octant * n_wide + safe, axis=0)
+        row = jnp.take(scene.wide_rows, safe, axis=0)
 
         best_dst = M[:, 6]
         count = row[:, wd.COL_COUNT]
         is_leaf = active & (count > 0.5)
         is_wide = active & (count < 0.5)
 
-        # ---- wide row: test up to 16 child slabs, build the hit mask ----
+        # ---- wide row: test up to 16 child slabs; enter the NEAREST hit
+        # child (per-ray), stack the rest as a positional hit mask ----
+        k = row[:, wd.COL_K].astype(jnp.int32)
         mask = jnp.zeros((B,), jnp.int32)
+        dn_min = jnp.full((B,), INF)
+        c_min = jnp.zeros((B,), jnp.int32)
         for c in range(16):
             o = wd.COL_CHILD_AABB + 6 * c
             dn = ray_aabb_dist(om, inv_dm, row[:, o:o + 3],
                                row[:, o + 3:o + 6], best_dst)
-            mask = mask | ((dn < INF).astype(jnp.int32) << c)
-        k = row[:, wd.COL_K].astype(jnp.int32)
-        mask = mask & (jnp.left_shift(jnp.int32(1), k) - 1)
+            # empty slots hold inverted boxes whose slab test degenerates to
+            # (-inf, +inf) — the c < k gate is what really excludes them
+            hit_c = (dn < INF) & (c < k)
+            mask = mask | (hit_c.astype(jnp.int32) << c)
+            nearer = hit_c & (dn < dn_min)
+            dn_min = jnp.where(nearer, dn, dn_min)
+            c_min = jnp.where(nearer, c, c_min)
         mask = jnp.where(is_wide, mask, 0)
         base = row[:, wd.COL_BASE].astype(jnp.int32)
         has = mask > 0
-        low = mask & -mask
-        child = base + jax.lax.population_count(jnp.maximum(low - 1, 0))
-        rem = mask ^ low
+        child = base + c_min
+        rem = mask & ~jnp.left_shift(jnp.int32(1), c_min)
 
         # ---- leaf row: identical inline 8-tri slab as the binary path ----
         best_u, best_v, best_det = M[:, 7], M[:, 8], M[:, 9]
@@ -564,7 +567,7 @@ def trace_batch_flat(scene: RenderScene, origin, direction, seed, *,
 def render_persistent(scene: RenderScene, frames, *, width: int, height: int,
                       bounces: int, rays_per_pixel: int, skybox: bool,
                       row_start=0, rows: int | None = None,
-                      lanes: int = 16384, unroll: int = 4,
+                      lanes: int = 16384, unroll: int = 8,
                       shade_every: int = SHADE_EVERY):
     """Persistent-lanes whole-image render. Returns ((rows, width, 4) image,
     total traced segments). Pixel p maps to (x = p %% width,

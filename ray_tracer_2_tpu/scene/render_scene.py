@@ -88,11 +88,11 @@ class RenderScene:
     mat_rows: jax.Array          # (K, 32) f32 — packed material records
     tex_meta: jax.Array          # (64, 4) f32 — offset, h, w per texture slot
 
-    # 16-ary wide rows (accel/wide.py): 3.6x fewer dependent gathers than
-    # the binary skip-link tables; used by the megakernel's lit path. Row
-    # ids are octant-local (children contiguous per octant order); index =
-    # octant * n_wide_rows + row.
-    wide_rows: jax.Array         # (8*R, 128) f32
+    # 16-ary CANONICAL wide rows (accel/wide.py): 3.6x fewer dependent
+    # gathers than the binary skip-link tables, and a single table (not 8
+    # octant copies) stays under the gather engine's ~8 MB fast region;
+    # used by the megakernel's lit path.
+    wide_rows: jax.Array         # (R, 128) f32
 
     materials: MaterialTable
 
@@ -137,7 +137,7 @@ class RenderScene:
 
     @property
     def n_wide_rows(self) -> int:
-        return self.wide_rows.shape[0] // 8
+        return self.wide_rows.shape[0]
 
     def with_camera(self, camera: Camera) -> "RenderScene":
         u = camera.to_uniform()
@@ -261,7 +261,7 @@ class HostScene:
         if not groups:
             return
         packed = np.concatenate(groups, axis=1).reshape(-1, ROW_WIDTH)
-        wide = np.concatenate(wide_groups, axis=1).reshape(-1, ROW_WIDTH)
+        wide = np.concatenate(wide_groups, axis=0)
         self.render_scene = dataclasses.replace(
             self.render_scene, packed_rows=jnp.asarray(packed),
             wide_rows=jnp.asarray(wide))
@@ -429,7 +429,7 @@ def instantiate_scene(definition: SceneDefinition,
     else:
         packed = np.zeros((0, ROW_WIDTH), np.float32)
     if wide_groups:
-        wide = np.concatenate(wide_groups, axis=1).reshape(-1, ROW_WIDTH)
+        wide = np.concatenate(wide_groups, axis=0)
     else:
         wide = np.zeros((0, ROW_WIDTH), np.float32)
     tri_attr = pack_tri_attributes(tri["n0"], tri["n1"], tri["n2"],

@@ -50,13 +50,11 @@ def test_rows_and_traversal_match_brute(mesh):
     culls = np.ones(T, np.float32)
     rows, n_rows, depth = wd.pack_wide_rows(bvh, v0, v1, v2, mats, culls,
                                             row_offset=0, tri_offset=0)
-    assert rows.shape == (8, n_rows, wd.ROW_WIDTH)
+    assert rows.shape == (n_rows, wd.ROW_WIDTH)
     assert depth >= 1
-    # base ids stay in range for every octant table
-    for oct_ in range(8):
-        widerows = rows[oct_][rows[oct_][:, wd.COL_COUNT] == 0]
-        top = widerows[:, wd.COL_BASE] + widerows[:, wd.COL_K]
-        assert top.max() <= n_rows
+    widerows = rows[rows[:, wd.COL_COUNT] == 0]
+    top = widerows[:, wd.COL_BASE] + widerows[:, wd.COL_K]
+    assert top.max() <= n_rows
 
     def brute(o, d):
         best, tri = INF, -1
@@ -81,8 +79,7 @@ def test_rows_and_traversal_match_brute(mesh):
         o = rng.random(3).astype(np.float32) * 8 - 4
         d = rng.normal(size=3).astype(np.float32)
         d /= np.linalg.norm(d)
-        oc = int(d[0] < 0) + 2 * int(d[1] < 0) + 4 * int(d[2] < 0)
-        dst, tri, u, v, det, nf = wd.traverse_wide_numpy(rows[oc], o, d)
+        dst, tri, u, v, det, nf = wd.traverse_wide_numpy(rows, o, d)
         bdst, btri = brute(o, d)
         fetches.append(nf)
         assert tri == btri and abs(min(dst, 1e30) - min(bdst, 1e30)) < 1e-3
