@@ -687,6 +687,11 @@ def render_persistent(scene: RenderScene, frames, *, width: int, height: int,
     def body(state):
         it, F, M, W, I, S, A, out, cursor = state
         if n_bvh:
+            # fixed unrolled window: an adaptive (while_loop) window that
+            # exits when most lanes finish their segment measured WORSE on
+            # chip (4.66 vs 5.16 Mrays/s) - the un-unrollable inner loop
+            # pays per-step loop overhead that exceeds the ~30% idle-slot
+            # savings it recovers
             for _ in range(unroll):
                 F, M, W, I, S = parts["traversal_step"](F, M, W, I, S)
             F, M, W, I = parts["advance_instance"](F, M, W, I)
