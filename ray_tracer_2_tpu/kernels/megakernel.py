@@ -616,9 +616,17 @@ def render_persistent(scene: RenderScene, frames, *, width: int, height: int,
     I0 = I0.at[:, I_SAMPLE].set(rpp - 1)  # first boundary claims a pixel
     A0 = jnp.zeros((B, 4))                # per-pixel sample accumulator
     S0 = jnp.zeros((B, 2 * parts["stack_depth"]), jnp.int32)
-    out0 = jnp.zeros((total, 4), jnp.float32)
+    # Completion LOG instead of a scatter target: the TPU scatter engine
+    # runs at ~47 ns/row (measured — slower than gathers), so out.at[p].add
+    # per boundary cost ~0.2 s/frame on the dragon. Completed pixels are
+    # instead compacted to the front (stable argsort of the done mask) and
+    # appended densely with dynamic_update_slice; every pixel completes
+    # exactly once, so log[:total] is a permutation of the frame and one
+    # argsort+take at the end reassembles it (~17 ms vs ~200 ms).
+    logv0 = jnp.zeros((total + B, 4), jnp.float32)
+    logp0 = jnp.zeros((total + B,), jnp.int32)
 
-    def boundary(F, M, W, I, A, out, cursor):
+    def boundary(F, M, W, I, A, logv, logp, cursor, wcursor):
         at_b = (I[:, I_PTR] >= n_bvh) & (I[:, I_BOUNCE] != DONE)
         o, d, trans, incoming, seed, continues_path = \
             parts["resolve_and_shade"](F, W, I, at_b)
@@ -634,11 +642,15 @@ def render_persistent(scene: RenderScene, frames, *, width: int, height: int,
         more_samples = sample_end & ~idle & (sample_i + 1 < rpp)
         pixel_done = sample_end & ~more_samples  # includes idle lanes
 
-        # pixel complete → scatter (each pixel owned by exactly one lane)
+        # pixel complete → append to the completion log (owned pixels only)
         valid_px = pixel_done & (I[:, I_PIXEL] >= 0)
-        idx = jnp.where(valid_px, I[:, I_PIXEL], 0)
-        out = out.at[idx].add(jnp.where(valid_px[:, None],
-                                        A / jnp.float32(rpp), 0.0))
+        perm = jnp.argsort(jnp.logical_not(valid_px), stable=True)
+        vals_c = jnp.take(A / jnp.float32(rpp), perm, axis=0)
+        pix_c = jnp.take(I[:, I_PIXEL], perm)
+        logv = jax.lax.dynamic_update_slice(logv, vals_c, (wcursor, 0))
+        logp = jax.lax.dynamic_update_slice(logp, pix_c, (wcursor,))
+        wcursor = jnp.minimum(wcursor + jnp.sum(valid_px.astype(jnp.int32)),
+                              total)
 
         # claim new pixels from the cursor
         claiming = pixel_done
@@ -678,14 +690,14 @@ def render_persistent(scene: RenderScene, frames, *, width: int, height: int,
         I = I.at[:, I_BOUNCE].set(jnp.where(retire, DONE, I[:, I_BOUNCE]))
         I = I.at[:, I_PTR].set(jnp.where(retire, n_bvh, I[:, I_PTR]))
         I = I.at[:, I_CUR].set(jnp.where(retire, -1, I[:, I_CUR]))
-        return F, M, W, I, A, out, cursor
+        return F, M, W, I, A, logv, logp, cursor, wcursor
 
     def cond(state):
-        it, F, M, W, I, S, A, out, cursor = state
+        it, F, M, W, I, S, A, logv, logp, cursor, wcursor = state
         return jnp.any(I[:, I_BOUNCE] != DONE)
 
     def body(state):
-        it, F, M, W, I, S, A, out, cursor = state
+        it, F, M, W, I, S, A, logv, logp, cursor, wcursor = state
         if n_bvh:
             # fixed unrolled window: an adaptive (while_loop) window that
             # exits when most lanes finish their segment measured WORSE on
@@ -697,16 +709,22 @@ def render_persistent(scene: RenderScene, frames, *, width: int, height: int,
             F, M, W, I = parts["advance_instance"](F, M, W, I)
             at_boundary = (I[:, I_PTR] >= n_bvh) & (I[:, I_BOUNCE] != DONE)
             run_boundary = ((it % shade_every) == 0) & jnp.any(at_boundary)
-            F, M, W, I, A, out, cursor = jax.lax.cond(
+            F, M, W, I, A, logv, logp, cursor, wcursor = jax.lax.cond(
                 run_boundary, boundary, lambda *s: s,
-                F, M, W, I, A, out, cursor)
+                F, M, W, I, A, logv, logp, cursor, wcursor)
         else:
             # no BVH instances: every iteration is a boundary (prepass is
             # the whole intersection work)
-            F, M, W, I, A, out, cursor = boundary(F, M, W, I, A, out, cursor)
-        return it + 1, F, M, W, I, S, A, out, cursor
+            F, M, W, I, A, logv, logp, cursor, wcursor = boundary(
+                F, M, W, I, A, logv, logp, cursor, wcursor)
+        return it + 1, F, M, W, I, S, A, logv, logp, cursor, wcursor
 
-    state = (jnp.int32(0), F0, M0, W0, I0, S0, A0, out0, jnp.int32(0))
-    _, F, M, W, I, _S, A, out, cursor = jax.lax.while_loop(cond, body, state)
+    state = (jnp.int32(0), F0, M0, W0, I0, S0, A0, logv0, logp0,
+             jnp.int32(0), jnp.int32(0))
+    _, F, M, W, I, _S, A, logv, logp, cursor, wcursor = \
+        jax.lax.while_loop(cond, body, state)
     segments = jnp.sum(I[:, I_SEGS].astype(jnp.float32))
+    # reassemble: log pixel ids are a permutation of [0, total)
+    order = jnp.argsort(logp[:total])
+    out = jnp.take(logv[:total], order, axis=0)
     return out.reshape(rows, width, 4), segments
