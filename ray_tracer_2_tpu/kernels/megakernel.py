@@ -485,6 +485,23 @@ def _make_parts(scene: RenderScene, B: int, bounces: int, skybox: bool):
                 start_segments=start_segments, stack_depth=D)
 
 
+def _cumsum_i32(x):
+    """Inclusive int32 cumsum of a (B,) vector via two triangular matmuls on
+    the MXU — ~2x faster than jnp.cumsum at B=16k (88 vs 172 us measured).
+    Exact: counts < 2^24 in f32 HIGHEST. Falls back for non-128-multiples."""
+    B = x.shape[0]
+    if B % 128:
+        return jnp.cumsum(x)
+    n = B // 128
+    g = x.astype(jnp.float32).reshape(n, 128)
+    lt = jnp.tril(jnp.ones((128, 128), jnp.float32))
+    within = jnp.dot(g, lt.T, precision=jax.lax.Precision.HIGHEST)
+    ltn = jnp.tril(jnp.ones((n, n), jnp.float32), -1)
+    prefix = jnp.dot(ltn, within[:, -1],
+                     precision=jax.lax.Precision.HIGHEST)
+    return (within + prefix[:, None]).reshape(B).astype(jnp.int32)
+
+
 def _i0(B, seed, n_bvh, bounce0):
     return jnp.stack([
         jax.lax.bitcast_convert_type(seed, jnp.int32),
@@ -567,7 +584,7 @@ def trace_batch_flat(scene: RenderScene, origin, direction, seed, *,
 def render_persistent(scene: RenderScene, frames, *, width: int, height: int,
                       bounces: int, rays_per_pixel: int, skybox: bool,
                       row_start=0, rows: int | None = None,
-                      lanes: int = 16384, unroll: int = 8,
+                      lanes: int = 16384, unroll: int = 6,
                       shade_every: int = SHADE_EVERY):
     """Persistent-lanes whole-image render. Returns ((rows, width, 4) image,
     total traced segments). Pixel p maps to (x = p %% width,
@@ -642,7 +659,10 @@ def render_persistent(scene: RenderScene, frames, *, width: int, height: int,
         more_samples = sample_end & ~idle & (sample_i + 1 < rpp)
         pixel_done = sample_end & ~more_samples  # includes idle lanes
 
-        # pixel complete → append to the completion log (owned pixels only)
+        # pixel complete → append to the completion log (owned pixels only).
+        # Compaction = stable argsort of the done mask + gathers; the
+        # rank-scatter alternative (small-buffer scatter) microbenched
+        # faster in isolation but measured 8% SLOWER in the full frame.
         valid_px = pixel_done & (I[:, I_PIXEL] >= 0)
         perm = jnp.argsort(jnp.logical_not(valid_px), stable=True)
         vals_c = jnp.take(A / jnp.float32(rpp), perm, axis=0)
@@ -654,7 +674,7 @@ def render_persistent(scene: RenderScene, frames, *, width: int, height: int,
 
         # claim new pixels from the cursor
         claiming = pixel_done
-        rank = jnp.cumsum(claiming.astype(jnp.int32)) \
+        rank = _cumsum_i32(claiming.astype(jnp.int32)) \
             - claiming.astype(jnp.int32)
         new_pixel = cursor + rank
         got_job = claiming & (new_pixel < total)
