@@ -1,30 +1,31 @@
-"""16-ary (wide) BVH rows with per-octant contiguous children.
+"""16-ary (wide) BVH rows — one CANONICAL table, contiguous children.
 
 Round-2 traversal redesign (docs/PERF_NOTES.md "Round-2 measurement
-campaign"): XLA dependent gathers are throughput-bound at ~0.124 G rows/s
-regardless of row width up to 512 B, so FETCH COUNT is the only lever.
-Replayed on the real dragon BVH (scripts/sim_wide.py), a 16-ary collapse
-with a per-lane (base, hitmask) resume stack needs 8-9 row fetches per
-segment vs 29-34 for the binary skip-link scheme — 3.6x fewer. The naive
+campaign"): XLA dependent gathers are throughput-bound per ROW, so FETCH
+COUNT is the only lever — and tables under the gather engine's ~8 MB
+cliff run 2.3x faster, so ONE canonical table beats 8 octant-ordered
+copies. Replayed on the real dragon BVH (scripts/sim_wide.py), a 16-ary
+collapse with a per-lane (base, hitmask) resume stack needs 8-9 row
+fetches per segment vs 29-34 for the binary skip-link scheme. The naive
 wide alternative (skip-link threading, no stack) got WORSE with arity
 because missed later-siblings are passed through one fetch each.
 
-Layout (one f32[128] row per node, 8 octant table copies):
+Layout (one f32[128] row per node):
 
   wide row  (COL_COUNT == 0)
-    12      base: first child row id (children CONTIGUOUS, octant order)
+    12      base: first child row id (children CONTIGUOUS)
     13      k: child count (<= 16)
-    16+6c   child c AABB min (3) then max (3), c in octant precedence
-            order (ascending centroid . sign(ray dir)); empty slots hold
-            inverted boxes so they can never hit
+    16+6c   child c AABB min (3) then max (3); empty slots hold inverted
+            boxes and are excluded by the c < k gate
   leaf row  (COL_COUNT > 0): identical to accel/packed.py leaf rows
     (COL_FIRST/COL_MATS/COL_CULLS/COL_TRIS) so the megakernel's leaf
     intersection code is shared between both traversals.
 
-Row ids are octant-LOCAL (each octant table numbers children contiguously
-in its own precedence order) — valid because a ray's octant is fixed for a
-whole model-space segment. The resume stack stores (base child-row id,
-remaining hit mask); resuming is `base + ctz(mask)` — no parent re-fetch.
+Near-first ordering is per-ray: the kernel enters the MINIMUM-DISTANCE
+hit child; the resume stack stores (base child-row id, remaining hit
+mask) and resumes at `base + ctz(mask)` — no parent re-fetch. Fetch
+count is order-invariant for the mask-stack scheme, so resume order
+costs nothing.
 
 Reference contract: the traversal replaces the reference's per-ray stack
 walk (ray_tracer.wgsl:292-335) with visit-identical closest-hit semantics.
@@ -37,14 +38,13 @@ import numpy as np
 
 from ray_tracer_2_tpu.accel.bvh import BVH
 
+from ray_tracer_2_tpu.accel.packed import (  # shared leaf-row layout
+    COL_COUNT, COL_CULLS, COL_FIRST, COL_MATS, COL_TRIS, ROW_TRIS,
+)
+
 ROW_WIDTH = 128
 COL_BASE = 12
 COL_K = 13
-COL_COUNT = 15
-COL_FIRST = 16
-COL_MATS = 17
-COL_CULLS = 25
-COL_TRIS = 33
 COL_CHILD_AABB = 16   # wide rows only
 MAX_ARITY = 16
 
@@ -129,7 +129,7 @@ def pack_wide_rows(bvh: BVH, v0, v1, v2, tri_mat, tri_cull,
         r[COL_COUNT] = k
         r[COL_FIRST] = first + tri_offset
         n_tris = len(v0)
-        for j in range(8):
+        for j in range(ROW_TRIS):
             tri = min(first + j, max(n_tris - 1, 0))
             valid = j < k
             r[COL_MATS + j] = tri_mat[tri] if valid else 0.0
