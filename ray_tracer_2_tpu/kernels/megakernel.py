@@ -97,14 +97,6 @@ def _make_parts(scene: RenderScene, B: int, bounces: int, skybox: bool):
             return jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (B, 4, 4))
         return _sel4x4(m2w_all, list(range(scene.n_instances)), raw)
 
-    def root_for(ptr):
-        if n_bvh == 0:
-            return jnp.full((B,), -1, jnp.int32)
-        out = jnp.full((B,), roots[0], jnp.int32)
-        for k in range(1, n_bvh):
-            out = jnp.where(ptr == k, roots[k], out)
-        return out
-
     # ------------------------------------------------ traversal step --
     # 16-ary wide rows + per-lane (base, hitmask) resume stack
     # (accel/wide.py). Fetch count is the currency: 8-9 rows/segment vs
@@ -112,6 +104,50 @@ def _make_parts(scene: RenderScene, B: int, bounces: int, skybox: bool):
     from ray_tracer_2_tpu.accel import wide as wd
 
     stack_cols = jnp.arange(D, dtype=jnp.int32)[None, :]
+
+    # Per-instance ROOT rows are compile-time slices — evaluating the root's
+    # child slabs inline at instance/segment entry costs no gather and
+    # removes one fetch per (segment x instance): ~10% of all fetches, and
+    # 100% for rays that miss the instance box outright.
+    if n_bvh:
+        root_rows = jnp.stack([scene.wide_rows[r] for r in roots], axis=0)
+
+    def root_row_for(ptr):
+        out = jnp.broadcast_to(root_rows[0], (B, 128))
+        for j in range(1, n_bvh):
+            out = jnp.where((ptr == j)[:, None],
+                            jnp.broadcast_to(root_rows[j], (B, 128)), out)
+        return out
+
+    def wide_enter(row, om, dm, enter, SB, SM):
+        """Evaluate a wide row for freshly-entering lanes (t_limit = INF):
+        nearest-hit child entry + remainder push onto an empty stack.
+        Returns (cur — -1 on miss, SB, SM, sp, k)."""
+        inv_dm = 1.0 / dm
+        limit = jnp.full((B,), INF)
+        k = row[:, wd.COL_K].astype(jnp.int32)
+        mask = jnp.zeros((B,), jnp.int32)
+        dn_min = jnp.full((B,), INF)
+        c_min = jnp.zeros((B,), jnp.int32)
+        for c in range(16):
+            o = wd.COL_CHILD_AABB + 6 * c
+            dn = ray_aabb_dist(om, inv_dm, row[:, o:o + 3],
+                               row[:, o + 3:o + 6], limit)
+            hit_c = (dn < INF) & (c < k)
+            mask = mask | (hit_c.astype(jnp.int32) << c)
+            nearer = hit_c & (dn < dn_min)
+            dn_min = jnp.where(nearer, dn, dn_min)
+            c_min = jnp.where(nearer, c, c_min)
+        base = row[:, wd.COL_BASE].astype(jnp.int32)
+        has = mask > 0
+        rem = mask & ~jnp.left_shift(jnp.int32(1), c_min)
+        push = enter & has & (rem > 0)
+        at0 = (stack_cols == 0) & push[:, None]
+        SB = jnp.where(at0, base[:, None], SB)
+        SM = jnp.where(at0, rem[:, None], SM)
+        sp = push.astype(jnp.int32)
+        cur = jnp.where(has, base + c_min, -1)
+        return cur, SB, SM, sp, k
 
     def traversal_step(F, M, W, I, S):
         cur = I[:, I_CUR]
@@ -206,9 +242,9 @@ def _make_parts(scene: RenderScene, B: int, bounces: int, skybox: bool):
         return F, M, W, I, S
 
     # ------------------------------------ instance advance (inline) --
-    def advance_instance(F, M, W, I):
+    def advance_instance(F, M, W, I, S):
         if n_bvh == 0:
-            return F, M, W, I
+            return F, M, W, I, S
         cur = I[:, I_CUR]
         ptr = I[:, I_PTR]
         live = (I[:, I_BOUNCE] != DONE) & (I[:, I_BOUNCE] != IDLE)
@@ -217,9 +253,9 @@ def _make_parts(scene: RenderScene, B: int, bounces: int, skybox: bool):
         # instance; with short wide-BVH segments this fires most iterations
         # on 1-instance scenes but gates the cost on multi-instance ones
         return jax.lax.cond(jnp.any(pending), _advance_impl,
-                            lambda *s: s, F, M, W, I)
+                            lambda *s: s, F, M, W, I, S)
 
-    def _advance_impl(F, M, W, I):
+    def _advance_impl(F, M, W, I, S):
         cur = I[:, I_CUR]
         ptr = I[:, I_PTR]
         live = (I[:, I_BOUNCE] != DONE) & (I[:, I_BOUNCE] != IDLE)
@@ -250,13 +286,19 @@ def _make_parts(scene: RenderScene, B: int, bounces: int, skybox: bool):
         dm_n = normalize(jnp.einsum("bij,bj->bi", w2m[:, :3, :3], d))
         M = jnp.where(entering[:, None], jnp.concatenate(
             [om_n, dm_n, jnp.full((B, 1), INF), jnp.zeros((B, 3))], axis=1), M)
-        I = I.at[:, I_CUR].set(jnp.where(entering, root_for(new_ptr),
-                                         I[:, I_CUR]))
+        # inline root evaluation: entering lanes land directly on the root's
+        # nearest hit child (or -1 on a whole-instance miss) with the
+        # remaining hits pre-pushed — no root row gather
+        SB, SM = S[:, :D], S[:, D:]
+        cur_e, SB, SM, sp_e, k_e = wide_enter(root_row_for(new_ptr),
+                                              om_n, dm_n, entering, SB, SM)
+        S = jnp.concatenate([SB, SM], axis=1)
+        I = I.at[:, I_CUR].set(jnp.where(entering, cur_e, I[:, I_CUR]))
         I = I.at[:, I_TRI].set(jnp.where(entering, -1, I[:, I_TRI]))
         I = I.at[:, I_PTR].set(new_ptr)
-        # cur reaches -1 only with the resume stack drained, but enforce it
-        I = I.at[:, I_SP].set(jnp.where(entering, 0, I[:, I_SP]))
-        return F, M, W, I
+        I = I.at[:, I_SP].set(jnp.where(entering, sp_e, I[:, I_SP]))
+        I = I.at[:, I_SN].add(jnp.where(entering, k_e, 0))
+        return F, M, W, I, S
 
     # -------------------------------------------- resolve + shade ----
     def resolve_and_shade(F, W, I, at_b):
@@ -457,10 +499,11 @@ def _make_parts(scene: RenderScene, B: int, bounces: int, skybox: bool):
                                      jnp.zeros((B, 3))], axis=1)
         return W_new, M_new, seg_tri2, seg_mat2, seg_flag
 
-    def start_segments(F, M, W, I, starts, o, d, trans, incoming, seed,
+    def start_segments(F, M, W, I, S, starts, o, d, trans, incoming, seed,
                        new_bounce):
         """Apply the prepass + per-segment state reset for rays in ``starts``
-        (their new ray is (o, d))."""
+        (their new ray is (o, d)). Instance 0's root is evaluated inline
+        (wide_enter) — no root-row gather."""
         W_new, M_new, seg_tri2, seg_mat2, seg_flag = segment_prepass(o, d)
         sb = starts[:, None]
         F = jnp.concatenate([o, d, trans, incoming], axis=1)
@@ -469,15 +512,24 @@ def _make_parts(scene: RenderScene, B: int, bounces: int, skybox: bool):
         I = I.at[:, I_SEED].set(jax.lax.bitcast_convert_type(seed, jnp.int32))
         I = I.at[:, I_BOUNCE].set(jnp.where(starts, new_bounce, I[:, I_BOUNCE]))
         I = I.at[:, I_SEGS].add(starts.astype(jnp.int32))
-        I = I.at[:, I_CUR].set(jnp.where(
-            starts, root_for(jnp.zeros((B,), jnp.int32)), I[:, I_CUR]))
+        if n_bvh:
+            SB, SM = S[:, :D], S[:, D:]
+            cur0, SB, SM, sp0, k0 = wide_enter(
+                jnp.broadcast_to(root_rows[0], (B, 128)),
+                M_new[:, 0:3], M_new[:, 3:6], starts, SB, SM)
+            S = jnp.concatenate([SB, SM], axis=1)
+            I = I.at[:, I_CUR].set(jnp.where(starts, cur0, I[:, I_CUR]))
+            I = I.at[:, I_SP].set(jnp.where(starts, sp0, I[:, I_SP]))
+            I = I.at[:, I_SN].add(jnp.where(starts, k0, 0))
+        else:
+            I = I.at[:, I_CUR].set(jnp.where(starts, -1, I[:, I_CUR]))
+            I = I.at[:, I_SP].set(jnp.where(starts, 0, I[:, I_SP]))
         I = I.at[:, I_PTR].set(jnp.where(starts, 0, I[:, I_PTR]))
         I = I.at[:, I_TRI].set(jnp.where(starts, -1, I[:, I_TRI]))
-        I = I.at[:, I_SP].set(jnp.where(starts, 0, I[:, I_SP]))
         I = I.at[:, I_STRI].set(jnp.where(starts, seg_tri2, I[:, I_STRI]))
         I = I.at[:, I_SMAT].set(jnp.where(starts, seg_mat2, I[:, I_SMAT]))
         I = I.at[:, I_FLAG].set(jnp.where(starts, seg_flag, I[:, I_FLAG]))
-        return F, M, W, I
+        return F, M, W, I, S
 
     return dict(n_bvh=n_bvh, traversal_step=traversal_step,
                 advance_instance=advance_instance,
@@ -550,8 +602,8 @@ def trace_batch_flat(scene: RenderScene, origin, direction, seed, *,
         continues = at_b & (~started | continues_path) \
             & (next_bounce <= bounces)
         dies = at_b & ~continues
-        F, M, W, I = parts["start_segments"](
-            F, M, W, I, continues, o, d, trans, incoming, seed,
+        F, M, W, I, S = parts["start_segments"](
+            F, M, W, I, S, continues, o, d, trans, incoming, seed,
             jnp.where(continues, next_bounce, I[:, I_BOUNCE]))
         I = I.at[:, I_BOUNCE].set(jnp.where(dies, DONE, I[:, I_BOUNCE]))
         I = I.at[:, I_PTR].set(jnp.where(dies, n_bvh, I[:, I_PTR]))
@@ -566,7 +618,7 @@ def trace_batch_flat(scene: RenderScene, origin, direction, seed, *,
         it, F, M, W, I, S = state
         F, M, W, I, S = parts["traversal_step"](F, M, W, I, S)
         F, M, W, I, S = parts["traversal_step"](F, M, W, I, S)
-        F, M, W, I = parts["advance_instance"](F, M, W, I)
+        F, M, W, I, S = parts["advance_instance"](F, M, W, I, S)
 
         at_boundary = (I[:, I_PTR] >= n_bvh) & (I[:, I_BOUNCE] != DONE)
         run_boundary = ((it % SHADE_EVERY) == 0) & jnp.any(at_boundary)
@@ -643,7 +695,7 @@ def render_persistent(scene: RenderScene, frames, *, width: int, height: int,
     logv0 = jnp.zeros((total + B, 4), jnp.float32)
     logp0 = jnp.zeros((total + B,), jnp.int32)
 
-    def boundary(F, M, W, I, A, logv, logp, cursor, wcursor):
+    def boundary(F, M, W, I, S, A, logv, logp, cursor, wcursor):
         at_b = (I[:, I_PTR] >= n_bvh) & (I[:, I_BOUNCE] != DONE)
         o, d, trans, incoming, seed, continues_path = \
             parts["resolve_and_shade"](F, W, I, at_b)
@@ -702,15 +754,16 @@ def render_persistent(scene: RenderScene, frames, *, width: int, height: int,
         starts = continues | restart
         new_bounce = jnp.where(restart, 0,
                                jnp.where(continues, next_bounce, bounce))
-        F, M, W, I = parts["start_segments"](F, M, W, I, starts, o, d,
-                                             trans, incoming, seed, new_bounce)
+        F, M, W, I, S = parts["start_segments"](F, M, W, I, S, starts, o, d,
+                                                trans, incoming, seed,
+                                                new_bounce)
         I = I.at[:, I_PIXEL].set(pixel)
         I = I.at[:, I_SAMPLE].set(sample_i)
         retire = pixel_done & ~got_job
         I = I.at[:, I_BOUNCE].set(jnp.where(retire, DONE, I[:, I_BOUNCE]))
         I = I.at[:, I_PTR].set(jnp.where(retire, n_bvh, I[:, I_PTR]))
         I = I.at[:, I_CUR].set(jnp.where(retire, -1, I[:, I_CUR]))
-        return F, M, W, I, A, logv, logp, cursor, wcursor
+        return F, M, W, I, S, A, logv, logp, cursor, wcursor
 
     def cond(state):
         it, F, M, W, I, S, A, logv, logp, cursor, wcursor = state
@@ -726,17 +779,17 @@ def render_persistent(scene: RenderScene, frames, *, width: int, height: int,
             # savings it recovers
             for _ in range(unroll):
                 F, M, W, I, S = parts["traversal_step"](F, M, W, I, S)
-            F, M, W, I = parts["advance_instance"](F, M, W, I)
+            F, M, W, I, S = parts["advance_instance"](F, M, W, I, S)
             at_boundary = (I[:, I_PTR] >= n_bvh) & (I[:, I_BOUNCE] != DONE)
             run_boundary = ((it % shade_every) == 0) & jnp.any(at_boundary)
-            F, M, W, I, A, logv, logp, cursor, wcursor = jax.lax.cond(
+            F, M, W, I, S, A, logv, logp, cursor, wcursor = jax.lax.cond(
                 run_boundary, boundary, lambda *s: s,
-                F, M, W, I, A, logv, logp, cursor, wcursor)
+                F, M, W, I, S, A, logv, logp, cursor, wcursor)
         else:
             # no BVH instances: every iteration is a boundary (prepass is
             # the whole intersection work)
-            F, M, W, I, A, logv, logp, cursor, wcursor = boundary(
-                F, M, W, I, A, logv, logp, cursor, wcursor)
+            F, M, W, I, S, A, logv, logp, cursor, wcursor = boundary(
+                F, M, W, I, S, A, logv, logp, cursor, wcursor)
         return it + 1, F, M, W, I, S, A, logv, logp, cursor, wcursor
 
     state = (jnp.int32(0), F0, M0, W0, I0, S0, A0, logv0, logp0,
