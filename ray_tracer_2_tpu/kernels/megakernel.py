@@ -92,6 +92,17 @@ def _make_parts(scene: RenderScene, B: int, bounces: int, skybox: bool):
     def m2w_for(ptr):
         return _sel4x4(m2w_all, bvh_ids, ptr)
 
+    deltas_bvh = [scene.inst_mat_deltas[i] for i in bvh_ids]
+
+    def delta_for(ptr):
+        """Material-id delta for instanced-geometry sharing (0 if none)."""
+        if not any(deltas_bvh):
+            return jnp.zeros((B,), jnp.int32)
+        out = jnp.full((B,), deltas_bvh[0], jnp.int32)
+        for j in range(1, n_bvh):
+            out = jnp.where(ptr == j, deltas_bvh[j], out)
+        return out
+
     def m2w_raw(raw):
         if scene.n_instances == 0:  # no meshes anywhere: value never used
             return jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (B, 4, 4))
@@ -274,7 +285,8 @@ def _make_parts(scene: RenderScene, B: int, bounces: int, skybox: bool):
             world_dst[:, None], M[:, 7:10], world_hp, jnp.zeros((B, 5))],
             axis=1), W)
         I = I.at[:, I_STRI].set(jnp.where(better, I[:, I_TRI], I[:, I_STRI]))
-        I = I.at[:, I_SMAT].set(jnp.where(better, I[:, I_MAT], I[:, I_SMAT]))
+        I = I.at[:, I_SMAT].set(jnp.where(better, I[:, I_MAT] + delta_for(ptr),
+                                          I[:, I_SMAT]))
         raw = jnp.take(bvh_raw_ids, jnp.clip(ptr, 0, n_bvh - 1))
         I = I.at[:, I_FLAG].set(jnp.where(better, raw, I[:, I_FLAG]))
 
@@ -476,7 +488,9 @@ def _make_parts(scene: RenderScene, B: int, bounces: int, skybox: bool):
             better = got & (wd < seg_dst)
             seg_dst = jnp.where(better, wd, seg_dst)
             seg_tri2 = jnp.where(better, res["tri"], seg_tri2)
-            seg_mat2 = jnp.where(better, res["mat"], seg_mat2)
+            seg_mat2 = jnp.where(better,
+                                 res["mat"] + scene.inst_mat_deltas[i],
+                                 seg_mat2)
             seg_u = jnp.where(better, res["u"], seg_u)
             seg_v = jnp.where(better, res["v"], seg_v)
             seg_det = jnp.where(better, res["det"], seg_det)

@@ -132,7 +132,8 @@ def compute_hit(scene: RenderScene, origin, direction, inv_dir):
             m_u = jnp.where(better, res["u"], m_u)
             m_v = jnp.where(better, res["v"], m_v)
             m_det = jnp.where(better, res["det"], m_det)
-            m_mat = jnp.where(better, res["mat"], m_mat)
+            m_mat = jnp.where(better,
+                              res["mat"] + scene.inst_mat_deltas[i], m_mat)
             m_inst = jnp.where(better, i, m_inst)
             m_point = jnp.where(better[:, None], world_hp, m_point)
 

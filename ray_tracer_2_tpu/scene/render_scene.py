@@ -118,6 +118,11 @@ class RenderScene:
                                           default=())
     wide_depth: int = dataclasses.field(metadata=dict(static=True),
                                         default=4)
+    #: STATIC per-instance material-id delta for instanced-geometry sharing:
+    #: shared tables bake the canonical instance's ids; a sharing instance
+    #: shades with id + delta (0 for canonical/unshared instances).
+    inst_mat_deltas: tuple = dataclasses.field(metadata=dict(static=True),
+                                               default=())
 
     @property
     def n_spheres(self) -> int:
@@ -248,8 +253,16 @@ class HostScene:
         groups = []
         wide_groups = []
         wide_cursor = 0
-        for (bvh, v0, v1, v2, mats, node_off, tri_off) in self._staging:
-            cull = (mat_flags[mats] != 1).astype(np.float32)
+        for (bvh, v0, v1, v2, mats, node_off, tri_off,
+             deltas) in self._staging:
+            # shared-geometry groups: a triangle keeps its backface cull
+            # only if NO sharing instance made its material glass —
+            # conservative (less culling is always correct), and the flag
+            # patterns matched at build time so this only weakens on a
+            # post-build divergent glass toggle
+            cull = np.ones(len(mats), np.float32)
+            for d in deltas:
+                cull *= (mat_flags[mats + d] != 1).astype(np.float32)
             groups.append(pack_octant_rows(bvh, v0, v1, v2, mats, cull,
                                            node_offset=node_off,
                                            tri_offset=tri_off))
@@ -337,7 +350,52 @@ def instantiate_scene(definition: SceneDefinition,
     tri_cursor = 0
     node_cursor = 0
 
+    # Instanced-geometry sharing: groups whose parts reference the SAME
+    # MeshData objects (the asset cache returns one object per model) with a
+    # consistent material-id shift and identical glass-flag patterns share
+    # one BVH + one set of traversal tables. The duplicate instance only
+    # carries a material-id DELTA, so per-instance material edits stay
+    # independent (the reference re-uploads duplicated mesh data instead;
+    # room2's two dragons here share 5.9 MB of wide rows — which also keeps
+    # the table under the gather engine's ~8 MB fast region).
+    built_geo: dict[tuple, dict] = {}
+    inst_mat_delta = []
+
+    def _dedup_key(parts):
+        return tuple(id(mesh) for mesh, _ in parts)
+
+    def _try_share(group):
+        canon = built_geo.get(_dedup_key(group["parts"]))
+        if canon is None:
+            return None
+        a_ids = canon["mat_ids"]
+        b_ids = [mid for _, mid in group["parts"]]
+        deltas = {b - a for a, b in zip(a_ids, b_ids)}
+        if len(deltas) != 1:
+            return None
+        if any(records[a].flag != records[b].flag
+               for a, b in zip(a_ids, b_ids)):
+            return None  # baked cull flags would diverge
+        return canon, deltas.pop()
+
     for group in raw_groups.values():
+        shared = _try_share(group)
+        if shared is not None:
+            canon, delta = shared
+            inst_m2w.append(group["matrix"])
+            inst_w2m.append(np.linalg.inv(
+                group["matrix"].astype(np.float64)).astype(np.float32))
+            inst_node_off.append(canon["node_off"])
+            inst_tri_off.append(canon["tri_off"])
+            inst_counts.append(canon["count"])
+            inst_transforms.append(group["transform"].copy())
+            inst_mat_ids.append(sorted({int(mid)
+                                        for _, mid in group["parts"]}))
+            inst_mat_delta.append(int(delta))
+            wide_root_list.append(canon["wide_root"])
+            canon["staging"][7].append(int(delta))  # sharing deltas
+            continue
+
         soup = _concat_soup(group["parts"])
         if soup is None:
             continue
@@ -359,10 +417,16 @@ def instantiate_scene(definition: SceneDefinition,
                                        tri_offset=tri_cursor)
         wide_groups.append(wrows)
         wide_root_list.append(wide_cursor)
-        wide_cursor += wn
         wide_depth = max(wide_depth, wd)
-        staging.append((bvh, v0[o], v1[o], v2[o], mats[o],
-                        node_cursor, tri_cursor))
+        stage = (bvh, v0[o], v1[o], v2[o], mats[o],
+                 node_cursor, tri_cursor, [0])
+        staging.append(stage)
+        built_geo[_dedup_key(group["parts"])] = dict(
+            mat_ids=[mid for _, mid in group["parts"]],
+            node_off=node_cursor, tri_off=tri_cursor, count=len(v0),
+            wide_root=wide_cursor, staging=stage)
+        wide_cursor += wn
+        inst_mat_delta.append(0)
         tri_arrays["v0"].append(v0[o]); tri_arrays["v1"].append(v1[o])
         tri_arrays["v2"].append(v2[o])
         tri_arrays["n0"].append(n0[o]); tri_arrays["n1"].append(n1[o])
@@ -470,6 +534,7 @@ def instantiate_scene(definition: SceneDefinition,
         wide_rows=jnp.asarray(wide),
         wide_roots=tuple(int(r) for r in wide_root_list),
         wide_depth=int(wide_depth),
+        inst_mat_deltas=tuple(int(d) for d in inst_mat_delta),
         tri_attr=jnp.asarray(tri_attr),
         mat_rows=jnp.asarray(mat_rows),
         tex_meta=jnp.asarray(tex_meta),

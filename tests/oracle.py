@@ -273,10 +273,11 @@ def meshes_from_scene(rs) -> list[dict]:
     n2 = np.asarray(rs.tri_n2, F)
     tri_mat = np.asarray(rs.tri_mat)
     flags = np.asarray(rs.materials.flag)
+    deltas = rs.inst_mat_deltas or (0,) * len(rs.inst_spans)
     for i, (_node_off, tri_off, count) in enumerate(rs.inst_spans):
         tris = []
         for t in range(tri_off, tri_off + count):
-            mid = int(tri_mat[t])
+            mid = int(tri_mat[t]) + int(deltas[i])
             tris.append(dict(v0=v0[t], v1=v1[t], v2=v2[t],
                              n0=n0[t], n1=n1[t], n2=n2[t],
                              cull=bool(flags[mid] != 1),
