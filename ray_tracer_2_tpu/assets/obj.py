@@ -80,8 +80,35 @@ def load_mtl(path: Path) -> dict[str, MtlMaterial]:
 
 
 def load_obj(path: Path) -> tuple[list[ObjModel], dict[str, MtlMaterial]]:
-    """Parse an .obj (+ any referenced .mtl) into de-indexed sub-meshes."""
+    """Parse an .obj (+ any referenced .mtl) into de-indexed sub-meshes.
+
+    The tokenize phase runs in the native C++ parser when available
+    (assets/native/obj_parser.cpp — the analog of the reference's tobj
+    crate, asset.rs:110-118); the Python parser below is the always-correct
+    fallback (RT2_NATIVE_OBJ=0 forces it). Both feed the same numpy
+    de-index/normal-generation assembly."""
+    import os
     path = Path(path)
+    if os.environ.get("RT2_NATIVE_OBJ", "1") != "0":
+        try:
+            from ray_tracer_2_tpu.assets.native import parse_obj_native
+            native = parse_obj_native(path)
+        except Exception:
+            native = None
+        if native is not None:
+            pos, uv, nrm, groups, mtllibs = native
+            materials: dict[str, MtlMaterial] = {}
+            for m in mtllibs:
+                mtl_path = path.parent / m
+                if mtl_path.exists():
+                    materials.update(load_mtl(mtl_path))
+            return _assemble(pos, uv, nrm, groups), materials
+
+    pos, uv, nrm, groups, materials = _parse_obj_python(path)
+    return _assemble(pos, uv, nrm, groups), materials
+
+
+def _parse_obj_python(path: Path):
     positions: list[tuple] = []
     uvs: list[tuple] = []
     normals: list[tuple] = []
@@ -140,7 +167,14 @@ def load_obj(path: Path) -> tuple[list[ObjModel], dict[str, MtlMaterial]]:
           if uvs else np.zeros((0, 2), np.float32))
     nrm = (np.asarray(normals, np.float32).reshape(-1, 3)
            if normals else np.zeros((0, 3), np.float32))
+    idx_groups = {k: np.asarray(v, np.int64) for k, v in groups.items() if v}
+    return pos, uv, nrm, idx_groups, materials
 
+
+def _assemble(pos, uv, nrm, groups) -> list[ObjModel]:
+    """De-index parsed streams into flat triangle-soup sub-meshes
+    (asset.rs:262-310 semantics), generating area-weighted normals when the
+    file has none (asset.rs:224-261)."""
     models: list[ObjModel] = []
     computed_normals: np.ndarray | None = None
 
@@ -175,7 +209,7 @@ def load_obj(path: Path) -> tuple[list[ObjModel], dict[str, MtlMaterial]]:
             uvs=soup_uv.astype(np.float32),
         ))
 
-    return models, materials
+    return models
 
 
 def _area_weighted_normals(pos: np.ndarray, groups: dict) -> np.ndarray:

@@ -116,3 +116,45 @@ def test_dragon_80k_synthesis(assets):
         return 0.5 * np.linalg.norm(
             np.cross(t[:, 1] - t[:, 0], t[:, 2] - t[:, 0]), axis=-1).sum()
     assert abs(area(v2) - area(v)) / area(v) < 1e-4
+
+
+def test_native_obj_parser_matches_python(assets):
+    """The C++ tokenizer (assets/native) must reproduce the Python parse
+    bit-for-bit on the reference's real assets."""
+    import os
+    import time
+    import numpy as np
+    from tests.conftest import require_asset
+    from ray_tracer_2_tpu.assets import obj as objmod
+    from ray_tracer_2_tpu.assets.native import parse_obj_native
+
+    for rel in ("CornellBox-Original.obj", "dice.obj", "dragon.obj"):
+        path = require_asset(assets, rel)
+        native = parse_obj_native(path)
+        if native is None:
+            import pytest
+            pytest.skip("native OBJ parser unavailable")
+        pos_n, uv_n, nrm_n, groups_n, _libs = native
+        pos_p, uv_p, nrm_p, groups_p, _mats = objmod._parse_obj_python(path)
+        np.testing.assert_array_equal(pos_n, pos_p)
+        np.testing.assert_array_equal(uv_n, uv_p)
+        np.testing.assert_array_equal(nrm_n, nrm_p)
+        assert list(groups_n.keys()) == list(groups_p.keys())
+        for k in groups_p:
+            np.testing.assert_array_equal(groups_n[k], groups_p[k])
+
+    # end-to-end: models via load_obj (native) == via the python parse
+    path = require_asset(assets, "CornellBox-Original.obj")
+    models_native, mats_native = objmod.load_obj(path)
+    os.environ["RT2_NATIVE_OBJ"] = "0"
+    try:
+        models_py, mats_py = objmod.load_obj(path)
+    finally:
+        os.environ.pop("RT2_NATIVE_OBJ")
+    assert len(models_native) == len(models_py)
+    assert set(mats_native) == set(mats_py)
+    for a, b in zip(models_native, models_py):
+        assert (a.name, a.material) == (b.name, b.material)
+        np.testing.assert_array_equal(a.positions, b.positions)
+        np.testing.assert_array_equal(a.normals, b.normals)
+        np.testing.assert_array_equal(a.uvs, b.uvs)
