@@ -65,6 +65,7 @@ def main():
     print(json.dumps(results), flush=True)
 
     # ---- showcase renders ----------------------------------------------
+    from bench import dragon_scene
     jobs = [
         ("balls", scenes.balls, True),
         ("random_balls", scenes.random_balls, True),
@@ -72,10 +73,11 @@ def main():
         ("room2", scenes.room_2, True),
         ("metal", scenes.metal, True),
         ("sponza", scenes.sponza, True),
+        ("dragon", dragon_scene, True),
     ]
     for name, build, skybox in jobs:
         t0 = time.perf_counter()
-        host = instantiate_scene(build())
+        host = build() if name == "dragon" else instantiate_scene(build())
         _, fb = accumulate(host, spp, 960, 540, skybox=skybox)
         save_png(fb, OUT / f"{name}_{spp}spp.png")
         print(f"{name}: {spp}spp 960x540 in {time.perf_counter()-t0:.0f}s",
