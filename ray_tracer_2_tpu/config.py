@@ -50,6 +50,11 @@ class RenderParams:
     accumulate: bool = True
     debug_mode: DebugMode = DebugMode.OFF
     debug_scale: int = 100
+    #: Normal-map shading in the lit path. The reference STUBS this out
+    #: (ray_tracer.wgsl:440-447 is a no-op TODO); off by default for
+    #: reference parity, on = tangent-frame perturbation from map_Disp
+    #: textures (sponza ships 22 of them).
+    normal_maps: bool = False
 
     def update(self, is_moving: bool) -> tuple["RenderParams", bool]:
         """Advance the frame counter (app.rs:43-57). Returns

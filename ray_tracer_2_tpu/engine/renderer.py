@@ -30,20 +30,21 @@ DEFAULT_TILE_COLS = 256
 @partial(jax.jit, donate_argnums=(1,),
          static_argnames=("width", "height", "bounces", "rays_per_pixel",
                           "skybox", "debug_mode", "tile_rows", "tile_cols",
-                          "lanes", "unroll", "shade_every"))
+                          "lanes", "unroll", "shade_every", "normal_maps"))
 def render_frame(scene: RenderScene, framebuffer: jax.Array, frames: jax.Array,
                  debug_scale: jax.Array, *, width: int, height: int,
                  bounces: int, rays_per_pixel: int, skybox: bool,
                  debug_mode: int, tile_rows: int, tile_cols: int | None = None,
                  lanes: int | None = None, unroll: int | None = None,
-                 shade_every: int | None = None):
+                 shade_every: int | None = None, normal_maps: bool = False):
     """Render + accumulate one frame. framebuffer: (height, width, 4) f32.
     Returns (new framebuffer, traced-segment count scalar)."""
     sample, segments = render_sample(
         scene, frames, debug_scale, width=width, height=height,
         bounces=bounces, rays_per_pixel=rays_per_pixel, skybox=skybox,
         debug_mode=debug_mode, tile_rows=tile_rows, tile_cols=tile_cols,
-        lanes=lanes, unroll=unroll, shade_every=shade_every)
+        lanes=lanes, unroll=unroll, shade_every=shade_every,
+        normal_maps=normal_maps)
     # Progressive average (ray_tracer.wgsl:154-161): frames <= 0 ⇒ overwrite.
     weight = jnp.where(frames >= 1, 1.0 / (frames.astype(jnp.float32) + 1.0), 1.0)
     return framebuffer * (1.0 - weight) + sample * weight, segments
@@ -55,7 +56,8 @@ def render_sample(scene: RenderScene, frames, debug_scale, *, width: int,
                   tile_cols: int | None = None,
                   row_start=0, rows: int | None = None,
                   lanes: int | None = None, unroll: int | None = None,
-                  shade_every: int | None = None) -> jax.Array:
+                  shade_every: int | None = None,
+                  normal_maps: bool = False) -> jax.Array:
     """Radiance for ``rows`` rows starting at ``row_start`` (no accumulation),
     (rows, width, 4). ``row_start`` may be traced (multi-chip row blocks);
     ``width``/``height`` always describe the FULL image (camera uv space).
@@ -86,7 +88,7 @@ def render_sample(scene: RenderScene, frames, debug_scale, *, width: int,
         return megakernel.render_persistent(
             scene, frames, width=width, height=height, bounces=bounces,
             rays_per_pixel=rays_per_pixel, skybox=skybox,
-            row_start=row_start, rows=rows, **kw)
+            row_start=row_start, rows=rows, normal_maps=normal_maps, **kw)
 
     tile_cols = width if tile_cols is None else tile_cols
     n_ty = -(-rows // tile_rows)
@@ -153,6 +155,7 @@ class Renderer:
             tile_rows=self.tile_rows, tile_cols=self.tile_cols,
             lanes=self.lanes, unroll=self.unroll,
             shade_every=self.shade_every,
+            normal_maps=bool(getattr(params, "normal_maps", False)),
         )
         return self.framebuffer
 

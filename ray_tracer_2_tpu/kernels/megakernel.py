@@ -65,7 +65,8 @@ def _bvh_instances(scene: RenderScene):
             if c > BRUTE_MAX_TRIS]
 
 
-def _make_parts(scene: RenderScene, B: int, bounces: int, skybox: bool):
+def _make_parts(scene: RenderScene, B: int, bounces: int, skybox: bool,
+                normal_maps: bool = False):
     """Build the shared kernel phases as closures over one (scene, B)."""
     from ray_tracer_2_tpu.kernels.trace import (
         _gather_material, _mat4_apply, _reflectance, environment_light,
@@ -360,6 +361,28 @@ def _make_parts(scene: RenderScene, B: int, bounces: int, skybox: bool):
         normal = hit["normal"]
         backface = hit["backface"]
 
+        if normal_maps:
+            # Tangent-frame normal mapping — the reference stubbed this out
+            # (ray_tracer.wgsl:440-447). Mesh hits only (spheres carry no
+            # tangent frame); the sampled map is decoded as 2n-1 and rotated
+            # into world space through the per-triangle TBN (accel/packed.py
+            # pack_tri_attributes cols 15:19).
+            has_nm = shading & hit_mesh & (m["normal_index"] != -1)
+            texel = jax.lax.cond(
+                jnp.any(has_nm),
+                lambda: sample_bilinear(scene.tex_texels, scene.tex_meta,
+                                        m["normal_index"], hit["uv"]),
+                lambda: jnp.zeros((B, 4)))
+            nt = texel[:, :3] * 2.0 - 1.0
+            t_model = attr[:, 15:18]
+            hand = attr[:, 18:19]
+            t_w = normalize(jnp.einsum("bij,bj->bi", m2w[:, :3, :3], t_model))
+            t_w = normalize(t_w - normal * dot(t_w, normal, keepdims=True))
+            b_w = jnp.cross(normal, t_w) * hand
+            n_pert = normalize(t_w * nt[:, 0:1] + b_w * nt[:, 1:2]
+                               + normal * nt[:, 2:3])
+            normal = jnp.where(has_nm[:, None], n_pert, normal)
+
         absorb = jnp.exp(-hit["dst"][:, None] * m["absorption"][:, :3]
                          * m["absorption_strength"][:, None])
         trans_g = jnp.where((is_glass & backface)[:, None],
@@ -651,7 +674,8 @@ def render_persistent(scene: RenderScene, frames, *, width: int, height: int,
                       bounces: int, rays_per_pixel: int, skybox: bool,
                       row_start=0, rows: int | None = None,
                       lanes: int = 16384, unroll: int = 6,
-                      shade_every: int = SHADE_EVERY):
+                      shade_every: int = SHADE_EVERY,
+                      normal_maps: bool = False):
     """Persistent-lanes whole-image render. Returns ((rows, width, 4) image,
     total traced segments). Pixel p maps to (x = p %% width,
     y = row_start + p // width); RNG streams and sample continuation are
@@ -660,7 +684,7 @@ def render_persistent(scene: RenderScene, frames, *, width: int, height: int,
     total = rows * width
     rpp = max(rays_per_pixel, 1)
     B = lanes
-    parts = _make_parts(scene, B, bounces, skybox)
+    parts = _make_parts(scene, B, bounces, skybox, normal_maps)
     n_bvh = parts["n_bvh"]  # 0 is fine: boundary-only loop (no traversal)
 
     cam = scene.cam_to_world

@@ -84,7 +84,7 @@ class RenderScene:
 
     # Packed single-gather-per-step tables (accel/packed.py):
     packed_rows: jax.Array       # (8*N, 64) f32 — octant node rows
-    tri_attr: jax.Array          # (T, 16) f32 — normals + uvs per triangle
+    tri_attr: jax.Array          # (T, 20) f32 — normals, uvs, tangent frame
     mat_rows: jax.Array          # (K, 32) f32 — packed material records
     tex_meta: jax.Array          # (64, 4) f32 — offset, h, w per texture slot
 
@@ -306,7 +306,11 @@ def instantiate_scene(definition: SceneDefinition,
         diffuse_index = -1
         if e.material.diffuse_texture is not None:
             diffuse_index = assets.load_texture(e.material.diffuse_texture)
-        resolved = e.material.resolve(diffuse_index=diffuse_index)
+        normal_index = -1
+        if e.material.normal_texture is not None:
+            normal_index = assets.load_texture(e.material.normal_texture)
+        resolved = e.material.resolve(diffuse_index=diffuse_index,
+                                      normal_index=normal_index)
 
         prim = e.primitive
         if isinstance(prim, SphereDef):
@@ -497,7 +501,8 @@ def instantiate_scene(definition: SceneDefinition,
     else:
         wide = np.zeros((0, ROW_WIDTH), np.float32)
     tri_attr = pack_tri_attributes(tri["n0"], tri["n1"], tri["n2"],
-                                   tri["uv0"], tri["uv1"], tri["uv2"])
+                                   tri["uv0"], tri["uv1"], tri["uv2"],
+                                   tri["v0"], tri["v1"], tri["v2"])
 
     atlas = TextureAtlas.from_images(assets.texture_images())
     table = MaterialTable.from_records(records)

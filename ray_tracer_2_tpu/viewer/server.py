@@ -165,7 +165,7 @@ class ViewerServer:
         p = eng.params
         if name in ("bounces", "rays_per_pixel", "debug_scale"):
             eng.params = dataclasses.replace(p, **{name: int(value)}, frames=-1)
-        elif name in ("skybox", "accumulate"):
+        elif name in ("skybox", "accumulate", "normal_maps"):
             eng.params = dataclasses.replace(p, **{name: bool(value)}, frames=-1)
         elif name == "debug_mode":
             eng.params = dataclasses.replace(p, debug_mode=DebugMode(int(value)),
@@ -208,6 +208,7 @@ class ViewerServer:
                 bounces=eng.params.bounces,
                 rays_per_pixel=eng.params.rays_per_pixel,
                 skybox=eng.params.skybox, accumulate=eng.params.accumulate,
+                normal_maps=eng.params.normal_maps,
                 debug_mode=int(eng.params.debug_mode),
                 debug_scale=eng.params.debug_scale,
             ),
