@@ -30,13 +30,15 @@ DEFAULT_TILE_COLS = 256
 @partial(jax.jit, donate_argnums=(1,),
          static_argnames=("width", "height", "bounces", "rays_per_pixel",
                           "skybox", "debug_mode", "tile_rows", "tile_cols",
-                          "lanes", "unroll", "shade_every", "normal_maps"))
+                          "lanes", "unroll", "shade_every", "normal_maps",
+                          "pallas_spheres"))
 def render_frame(scene: RenderScene, framebuffer: jax.Array, frames: jax.Array,
                  debug_scale: jax.Array, *, width: int, height: int,
                  bounces: int, rays_per_pixel: int, skybox: bool,
                  debug_mode: int, tile_rows: int, tile_cols: int | None = None,
                  lanes: int | None = None, unroll: int | None = None,
-                 shade_every: int | None = None, normal_maps: bool = False):
+                 shade_every: int | None = None, normal_maps: bool = False,
+                 pallas_spheres: bool = False):
     """Render + accumulate one frame. framebuffer: (height, width, 4) f32.
     Returns (new framebuffer, traced-segment count scalar)."""
     sample, segments = render_sample(
@@ -44,7 +46,7 @@ def render_frame(scene: RenderScene, framebuffer: jax.Array, frames: jax.Array,
         bounces=bounces, rays_per_pixel=rays_per_pixel, skybox=skybox,
         debug_mode=debug_mode, tile_rows=tile_rows, tile_cols=tile_cols,
         lanes=lanes, unroll=unroll, shade_every=shade_every,
-        normal_maps=normal_maps)
+        normal_maps=normal_maps, pallas_spheres=pallas_spheres)
     # Progressive average (ray_tracer.wgsl:154-161): frames <= 0 ⇒ overwrite.
     weight = jnp.where(frames >= 1, 1.0 / (frames.astype(jnp.float32) + 1.0), 1.0)
     return framebuffer * (1.0 - weight) + sample * weight, segments
@@ -57,7 +59,8 @@ def render_sample(scene: RenderScene, frames, debug_scale, *, width: int,
                   row_start=0, rows: int | None = None,
                   lanes: int | None = None, unroll: int | None = None,
                   shade_every: int | None = None,
-                  normal_maps: bool = False) -> jax.Array:
+                  normal_maps: bool = False,
+                  pallas_spheres: bool = False) -> jax.Array:
     """Radiance for ``rows`` rows starting at ``row_start`` (no accumulation),
     (rows, width, 4). ``row_start`` may be traced (multi-chip row blocks);
     ``width``/``height`` always describe the FULL image (camera uv space).
@@ -76,6 +79,17 @@ def render_sample(scene: RenderScene, frames, debug_scale, *, width: int,
     # never stalls a tile (kernels/megakernel.py). Debug modes use the
     # deterministic tiled path below.
     from ray_tracer_2_tpu.kernels import megakernel
+
+    if debug_mode == int(DebugMode.OFF) and pallas_spheres:
+        # sphere-only scenes route to the whole-path Mosaic megakernel
+        # (kernels/pallas_spheres.py) — eligibility decided statically by
+        # the caller (Renderer.render), never under tracing
+        from ray_tracer_2_tpu.kernels.pallas_spheres import \
+            render_spheres_pallas
+        return render_spheres_pallas(
+            scene, frames, width=width, height=height, bounces=bounces,
+            rays_per_pixel=rays_per_pixel, skybox=skybox,
+            row_start=row_start, rows=rows)
 
     if debug_mode == int(DebugMode.OFF):
         kw = {}
@@ -135,11 +149,34 @@ class Renderer:
         self.framebuffer: jax.Array | None = None
         self.last_segments: jax.Array | None = None  # traced rays last frame
         self._fb_shape: tuple | None = None
+        self._psph_cache: dict = {}
 
     def ensure_framebuffer(self, width: int, height: int) -> None:
         if self._fb_shape != (height, width):
             self.framebuffer = jnp.zeros((height, width, 4), jnp.float32)
             self._fb_shape = (height, width)
+
+    def _use_pallas_spheres(self, scene: RenderScene,
+                            params: RenderParams) -> bool:
+        """Static routing decision for the Mosaic sphere megakernel: TPU
+        backend, sphere-only scene, <= 128 spheres (the dense cross loses
+        above that — measured on random_balls), no texture/normal-map
+        sampling. RT2_PALLAS_SPHERES=0/1 forces it off/on."""
+        import os
+        mode = os.environ.get("RT2_PALLAS_SPHERES", "auto")
+        if mode == "0":
+            return False
+        if params.debug_mode != DebugMode.OFF or params.normal_maps:
+            return False
+        if mode != "1" and jax.default_backend() != "tpu":
+            return False
+        key = id(scene)
+        cached = self._psph_cache.get(key)
+        if cached is None:
+            from ray_tracer_2_tpu.kernels.pallas_spheres import eligible
+            cached = eligible(scene) and scene.n_spheres <= 128
+            self._psph_cache[key] = cached
+        return cached
 
     def render(self, scene: RenderScene, params: RenderParams) -> jax.Array:
         """Render one frame into the accumulation buffer; returns it."""
@@ -156,6 +193,7 @@ class Renderer:
             lanes=self.lanes, unroll=self.unroll,
             shade_every=self.shade_every,
             normal_maps=bool(getattr(params, "normal_maps", False)),
+            pallas_spheres=self._use_pallas_spheres(scene, params),
         )
         return self.framebuffer
 

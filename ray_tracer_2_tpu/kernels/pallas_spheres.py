@@ -1,0 +1,505 @@
+"""Whole-path Pallas megakernel for sphere-only scenes.
+
+metal / balls / random_balls (and the RandomBalls benchmark config) have no
+BVH instances and no textures, so the entire path trace — camera rays, dense
+sphere intersection, glass/diffuse/specular shading, russian roulette,
+rays_per_pixel accumulation — fits in ONE Mosaic kernel with zero HBM
+traffic in the loop.
+
+Mosaic layout laws learned the hard way (docs/PERF_NOTES.md):
+  * Mosaic UNROLLS array ops into (8, 128)-tile instructions, and the remote
+    compile helper dies somewhere around ~2k tile-instructions per kernel;
+    (B, 1) per-lane columns therefore both waste 128x lanes AND explode the
+    program. Per-ray state here lives in NATIVE (8, 128) tiles (1024 rays
+    per grid block, one instruction per elementwise op).
+  * Nested lax loops are fine, but two sequential copies of a big loop body
+    are not — the rays_per_pixel loop is FOLDED into the bounce loop as a
+    masked camera restart, so exactly one bounce body exists in the program.
+  * No cross-layout reshapes/transposes in-kernel: the sphere table arrives
+    (S, 8) so a chunk slice puts spheres on sublanes, crossing naturally
+    with a (1, 128) ray row; the material table arrives TRANSPOSED
+    (F_ROWS, S) so winner fields come out of one MXU one-hot dot per ray
+    row, already ray-major.
+  * No u32<->f32 casts (emulated exactly via 16-bit halves), no scalar
+    bitcasts, no jax arrays captured from module scope, no per-lane value
+    dynamic_slice (masked row selects instead).
+
+Physics and RNG stream are identical to kernels/trace.py trace_batch
+(ray_tracer.wgsl:398-471) — outputs match the XLA path near-bitwise
+(tests/test_pallas_spheres.py runs the kernel in interpret mode on CPU).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ray_tracer_2_tpu import rng
+from ray_tracer_2_tpu.scene.render_scene import RenderScene
+
+INF = float(np.float32(1.7014118e38))
+GLASS = 1
+BLOCK_ROWS = 8              # ray rows per block
+LANES = 128
+BLOCK = BLOCK_ROWS * LANES  # 1024 rays per grid step
+MAX_SCHUNK = 128            # max spheres per chunk (sublane axis)
+
+
+def _schunk(S: int) -> int:
+    """Sphere-chunk height: small scenes only pay for the tiles they use
+    (metal has 9 spheres — a 128-row chunk wastes 93% of the cross)."""
+    return min(MAX_SCHUNK, max(8, -(-S // 8) * 8))
+
+# transposed field-table rows (see _pack_tables): 0:32 = the mat_rows
+# layout, then the winner sphere's centre + radius
+F_PX, F_PY, F_PZ, F_RAD = 32, 33, 34, 35
+F_ROWS = 40
+
+
+def eligible(scene: RenderScene) -> bool:
+    """Kernel handles scenes with spheres only and no texture sampling."""
+    if scene.n_instances != 0 or scene.n_spheres == 0:
+        return False
+    flags = np.asarray(scene.materials.flag)
+    diff = np.asarray(scene.materials.diffuse_index)
+    return bool((flags != 2).all() and (diff < 0).all())
+
+
+def _norm3(x, y, z):
+    inv = jax.lax.rsqrt(x * x + y * y + z * z)
+    return x * inv, y * inv, z * inv
+
+
+def _u32_to_f32(bits):
+    """Exact emulation of bits.astype(float32) — Mosaic has no u32->f32
+    cast. hi*65536 is exact in f32 and the single add rounds to nearest,
+    identical to the direct conversion."""
+    hi = jax.lax.bitcast_convert_type(bits >> jnp.uint32(16), jnp.int32)
+    lo = jax.lax.bitcast_convert_type(bits & jnp.uint32(0xFFFF), jnp.int32)
+    return hi.astype(jnp.float32) * 65536.0 + lo.astype(jnp.float32)
+
+
+def _rand(seed):
+    """rng.rand with the Mosaic-safe u32->f32 conversion (bit-identical)."""
+    bits, seed = rng.next_u32(seed)
+    return _u32_to_f32(bits) / np.float32(4294967295.0), seed
+
+
+def _rand_normal(seed):
+    u1, seed = _rand(seed)
+    u2, seed = _rand(seed)
+    theta = 2.0 * 3.1415926 * u1
+    rho = jnp.sqrt(-2.0 * jnp.log(jnp.maximum(u2, np.float32(2.33e-10))))
+    return rho * jnp.cos(theta), seed
+
+
+def _rand_direction(seed):
+    """rng.rand_direction, component-wise (draw order x, y, z preserved)."""
+    x, seed = _rand_normal(seed)
+    y, seed = _rand_normal(seed)
+    z, seed = _rand_normal(seed)
+    x, y, z = _norm3(x, y, z)
+    return x, y, z, seed
+
+
+def _make_kernel(S_pad: int, SCHUNK: int, bounces: int, rpp: int,
+                 skybox: bool, width: int, total: int, row_start: int):
+    from ray_tracer_2_tpu.kernels import trace as _t
+    from ray_tracer_2_tpu.kernels.trace import _reflectance
+
+    HORIZON = [float(v) for v in np.asarray(_t.SKY_HORIZON)]
+    ZENITH = [float(v) for v in np.asarray(_t.SKY_ZENITH)]
+    GROUND = [float(v) for v in np.asarray(_t.GROUND_COLOR)]
+    SUN_FOCUS = float(_t.SUN_FOCUS)
+    SUN_INTENSITY = float(_t.SUN_INTENSITY)
+    n_chunks = S_pad // SCHUNK
+    span = bounces + 1
+    SHAPE = (BLOCK_ROWS, LANES)
+
+    def smoothstep(e0, e1, x):
+        t = jnp.clip((x - e0) / (e1 - e0), 0.0, 1.0)
+        return t * t * (3.0 - 2.0 * t)
+
+    def env_light(dx, dy, dz):
+        sky_t = smoothstep(0.0, 0.4, dy) ** 0.35
+        g2s = smoothstep(-0.01, 0.0, dy)
+        sun = jnp.maximum(0.0, dx * 0.1 + dy * 1.0 + dz * 0.1) \
+            ** SUN_FOCUS * SUN_INTENSITY
+        sun = sun * (g2s >= 1.0)
+        out = []
+        for c in range(4):
+            sky = HORIZON[c] + (ZENITH[c] - HORIZON[c]) * sky_t
+            comp = GROUND[c] + (sky - GROUND[c]) * g2s
+            out.append(comp + sun)
+        return out
+
+    def kernel(frames_ref, cam_ref, sph_ref, mT_ref,
+               or_ref, og_ref, ob_ref, oa_ref, seg_ref):
+        frames = frames_ref[0, 0]
+        cam = [cam_ref[0, i] for i in range(18)]
+        (r00, r01, r02, r10, r11, r12, r20, r21, r22,
+         cx, cy, cz, vp0, vp1, vp2, defocus, diverge, im_h) = cam
+
+        rows8 = jax.lax.broadcasted_iota(jnp.int32, (BLOCK_ROWS, 1), 0)
+        sub_iota = jax.lax.broadcasted_iota(jnp.int32, (SCHUNK, 1), 0)
+
+        block = pl.program_id(0)
+        lane = jax.lax.broadcasted_iota(jnp.int32, SHAPE, 1)
+        row = jax.lax.broadcasted_iota(jnp.int32, SHAPE, 0)
+        pixel = block * BLOCK + row * LANES + lane
+        in_image = pixel < total
+        x = (pixel % width).astype(jnp.float32)
+        y = (row_start + pixel // width).astype(jnp.float32)
+        gpix = (row_start + pixel // width) * width + pixel % width
+        seed0 = jax.lax.bitcast_convert_type(
+            gpix + jnp.abs(frames) * 719393, jnp.uint32)
+
+        u = x / jnp.maximum(jnp.float32(width) - 1.0, 1.0)
+        v = y / jnp.maximum(im_h - 1.0, 1.0)
+        lfx = (u - 0.5) * vp0
+        lfy = (v - 0.5) * vp1
+        fx = r00 * lfx + r01 * lfy + r02 * vp2 + cx
+        fy = r10 * lfx + r11 * lfy + r12 * vp2 + cy
+        fz = r20 * lfx + r21 * lfy + r22 * vp2 + cz
+
+        def _disk(seed):
+            u1, seed = _rand(seed)
+            angle = u1 * 2.0 * 3.1415926
+            u2, seed = _rand(seed)
+            rr = jnp.sqrt(u2)
+            return jnp.cos(angle) * rr, jnp.sin(angle) * rr, seed
+
+        def sphere_pass(ox, oy, oz, dx, dy, dz):
+            """Dense closest-hit over all spheres: row-by-row (rays on
+            lanes) x sphere chunks (spheres on sublanes). Returns
+            (best_dst, winner id, inside) as (8, 128) arrays."""
+
+            def do_row(r, carry):
+                best_d, best_i, best_in = carry
+                sel = rows8 == r
+
+                def pick_row(arr):
+                    return jnp.sum(jnp.where(sel, arr, 0.0), axis=0,
+                                   keepdims=True)
+
+                rox, roy, roz = pick_row(ox), pick_row(oy), pick_row(oz)
+                rdx, rdy, rdz = pick_row(dx), pick_row(dy), pick_row(dz)
+                a = rdx * rdx + rdy * rdy + rdz * rdz
+
+                def chunk(k, c2):
+                    bd, bi, bin_ = c2
+                    blk = sph_ref[pl.ds(k * SCHUNK, SCHUNK), :]  # (128, 8)
+                    px, py, pz = blk[:, 0:1], blk[:, 1:2], blk[:, 2:3]
+                    rad = blk[:, 3:4]
+                    ocx, ocy, ocz = rox - px, roy - py, roz - pz
+                    b = 2.0 * (ocx * rdx + ocy * rdy + ocz * rdz)
+                    cq = ocx * ocx + ocy * ocy + ocz * ocz - rad * rad
+                    disc = b * b - 4.0 * a * cq
+                    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+                    dn = jnp.maximum(0.0, (-b - sq) / (2.0 * a))
+                    df = (-b + sq) / (2.0 * a)
+                    inside = dn == 0.0
+                    hit_s = (disc >= 0.0) & (df >= 0.001)
+                    dstw = jnp.where(hit_s, jnp.where(inside, df, dn), INF)
+                    m = jnp.min(dstw, axis=0, keepdims=True)     # (1, 128)
+                    gid = sub_iota + k * SCHUNK                  # (128, 1)
+                    cand = dstw == m
+                    idw = jnp.min(jnp.where(cand, gid, S_pad), axis=0,
+                                  keepdims=True)
+                    winc = cand & (gid == idw)
+                    ins = jnp.max(jnp.where(winc & inside, 1.0, 0.0),
+                                  axis=0, keepdims=True)  # f32: Mosaic
+                    # crashes on BOOL loop carries
+                    better = m < bd
+                    return (jnp.where(better, m, bd),
+                            jnp.where(better, idw, bi),
+                            jnp.where(better, ins, bin_))
+
+                bd, bi, bin_ = jax.lax.fori_loop(
+                    0, n_chunks, chunk,
+                    (jnp.full((1, LANES), INF),
+                     jnp.full((1, LANES), S_pad, jnp.int32),
+                     jnp.zeros((1, LANES), jnp.float32)))
+                return (jnp.where(sel, bd, best_d),
+                        jnp.where(sel, bi, best_i),
+                        jnp.where(sel, bin_, best_in))
+
+            return jax.lax.fori_loop(
+                0, BLOCK_ROWS, do_row,
+                (jnp.full(SHAPE, INF), jnp.full(SHAPE, S_pad, jnp.int32),
+                 jnp.zeros(SHAPE, jnp.float32)))
+
+        def fields_for(winner):
+            """Winner field rows via one MXU one-hot dot per ray row:
+            (F_ROWS, S) @ onehot(S, 128) — fields land ray-major."""
+            sfull = jax.lax.broadcasted_iota(jnp.int32, (S_pad, 1), 0)
+
+            def do_row(r, out):
+                sel = rows8 == r
+                widr = jnp.sum(jnp.where(sel, winner, 0), axis=0,
+                               keepdims=True)                     # (1, 128)
+                oh = (sfull == widr).astype(jnp.float32)          # (S, 128)
+                f = jax.lax.dot_general(
+                    mT_ref[:], oh, (((1,), (0,)), ((), ())),
+                    precision=jax.lax.Precision.HIGHEST)          # (F, 128)
+                return [jnp.where(sel, f[c:c + 1, :], out[c])
+                        for c in range(F_ROWS)]
+
+            return jax.lax.fori_loop(
+                0, BLOCK_ROWS, do_row,
+                [jnp.zeros(SHAPE, jnp.float32) for _ in range(F_ROWS)])
+
+        def _unpack(st):
+            return [st[k * BLOCK_ROWS:(k + 1) * BLOCK_ROWS] for k in range(20)]
+
+        def _pack(arrs):
+            return jnp.concatenate(arrs, axis=0)
+
+        def body(i, c):
+            st, seed = c
+            (ox, oy, oz, dx, dy, dz, t0, t1, t2, t3,
+             i0, i1, i2, i3, alive, segs, a0, a1, a2, a3) = _unpack(st)
+            tr = [t0, t1, t2, t3]
+            inc = [i0, i1, i2, i3]
+            acc = [a0, a1, a2, a3]
+
+            # ---- masked sample restart (frag(), wgsl:487-497) ------------
+            restart = (i % span) == 0
+            d0x, d0y, seed_r = _disk(seed)
+            jx = d0x * defocus
+            jy = d0y * defocus
+            rox = cx + r00 * jx + r01 * jy      # camera right/up = columns
+            roy = cy + r10 * jx + r11 * jy
+            roz = cz + r20 * jx + r21 * jy
+            v0x, v0y, seed_r = _disk(seed_r)
+            vx = v0x * diverge
+            vy = v0y * diverge
+            fjx = fx + r00 * vx + r01 * vy
+            fjy = fy + r10 * vx + r11 * vy
+            fjz = fz + r20 * vx + r21 * vy
+            rdx, rdy, rdz = _norm3(fjx - rox, fjy - roy, fjz - roz)
+            acc = [jnp.where(restart, ac + ic, ac)
+                   for ac, ic in zip(acc, inc)]
+            inc = [jnp.where(restart, 0.0, vv) for vv in inc]
+            tr = [jnp.where(restart, 1.0, vv) for vv in tr]
+            ox = jnp.where(restart, rox, ox)
+            oy = jnp.where(restart, roy, oy)
+            oz = jnp.where(restart, roz, oz)
+            dx = jnp.where(restart, rdx, dx)
+            dy = jnp.where(restart, rdy, dy)
+            dz = jnp.where(restart, rdz, dz)
+            seed = jnp.where(restart, seed_r, seed)
+            # alive is carried as f32 0/1 (Mosaic crashes on bool carries)
+            alive = jnp.where(restart, in_image_f, alive)
+            alive_b = alive > 0.0
+            segs = segs + alive
+
+            # ---- intersection + winner fields ----------------------------
+            sd, winner, backface_f = sphere_pass(ox, oy, oz, dx, dy, dz)
+            backface = backface_f > 0.0
+            hit = alive_b & (sd < INF)
+            F = fields_for(jnp.where(hit, winner, S_pad))
+            m_color = F[0:4]
+            m_emis = F[4:8]
+            m_spec_c = F[8:12]
+            m_abs = F[12:15]
+            m_abs_k = F[16]
+            m_emis_k = F[17]
+            m_smooth = F[18]
+            m_spec = F[19]
+            m_ior = jnp.where(hit, F[20], 1.0)  # no 1/0 on miss lanes
+            is_glass = F[21] == float(GLASS)
+            pcx, pcy, pcz = F[F_PX], F[F_PY], F[F_PZ]
+
+            hx, hy, hz = ox + dx * sd, oy + dy * sd, oz + dz * sd
+            nx, ny, nz = _norm3(hx - pcx, hy - pcy, hz - pcz)
+            flip = jnp.where(backface, -1.0, 1.0)
+            nx, ny, nz = nx * flip, ny * flip, nz * flip
+
+            # ---- miss: environment light ---------------------------------
+            missed = alive_b & ~hit
+            if skybox:
+                env = env_light(dx, dy, dz)
+                for ch in range(4):
+                    inc[ch] = jnp.where(missed, inc[ch] + tr[ch] * env[ch],
+                                        inc[ch])
+            alive_b = hit
+
+            # reflect dir shared by both branches
+            ddn = dx * nx + dy * ny + dz * nz
+            rfx, rfy, rfz = dx - 2.0 * ddn * nx, dy - 2.0 * ddn * ny, \
+                dz - 2.0 * ddn * nz
+
+            # ---- glass branch (ray_tracer.wgsl:414-436) ------------------
+            gb = is_glass & backface
+            tr_g = [jnp.where(gb,
+                              tr[ch] * jnp.exp(-sd * m_abs[ch] * m_abs_k),
+                              tr[ch]) for ch in range(3)] \
+                + [jnp.where(gb, 1.0, tr[3])]
+            ior = jnp.where(backface, m_ior, 1.0 / m_ior)
+            cos_i = nx * dx + ny * dy + nz * dz
+            kk = 1.0 - ior * ior * (1.0 - cos_i * cos_i)
+            okk = kk >= 0.0
+            kr = jnp.sqrt(jnp.maximum(kk, 0.0))
+            rrx = jnp.where(okk, ior * dx - (ior * cos_i + kr) * nx, 0.0)
+            rry = jnp.where(okk, ior * dy - (ior * cos_i + kr) * ny, 0.0)
+            rrz = jnp.where(okk, ior * dz - (ior * cos_i + kr) * nz, 0.0)
+            cos_t = jnp.minimum(-(dx * nx + dy * ny + dz * nz), 1.0)
+            sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0))
+            cannot = ior * sin_t > 1.0
+            r_refl, seed_refl = _rand(seed)
+            seed_g = jnp.where(cannot, seed, seed_refl)
+            follow = cannot | (_reflectance(cos_t, ior) > r_refl)
+            gxx, gyy, gzz, seed_g = _rand_direction(seed_g)
+            dfx, dfy, dfz = _norm3(nx + gxx, ny + gyy, nz + gzz)
+            remx, remy, remz = _norm3(dfx + (rfx - dfx) * m_spec,
+                                      dfy + (rfy - dfy) * m_spec,
+                                      dfz + (rfz - dfz) * m_spec)
+            rmx, rmy, rmz = _norm3(-dfx + (rrx + dfx) * m_smooth,
+                                   -dfy + (rry + dfy) * m_smooth,
+                                   -dfz + (rrz + dfz) * m_smooth)
+            gdx = jnp.where(follow, remx, rmx)
+            gdy = jnp.where(follow, remy, rmy)
+            gdz = jnp.where(follow, remz, rmz)
+            gsgn = jnp.sign(nx * gdx + ny * gdy + nz * gdz)
+            gox = hx + 1e-4 * nx * gsgn
+            goy = hy + 1e-4 * ny * gsgn
+            goz = hz + 1e-4 * nz * gsgn
+
+            # ---- diffuse/specular branch (wgsl:437-459) ------------------
+            r_spec, seed_n = _rand(seed)
+            is_spec = m_spec >= r_spec
+            ux, uy, uz, seed_n = _rand_direction(seed_n)
+            hemi = jnp.sign(nx * ux + ny * uy + nz * uz)
+            hemi = jnp.where(hemi == 0.0, 1.0, hemi)
+            hdx, hdy, hdz = ux * hemi, uy * hemi, uz * hemi
+            mix_t = m_smooth * is_spec.astype(jnp.float32)
+            ndx, ndy, ndz = _norm3(hdx + (rfx - hdx) * mix_t,
+                                   hdy + (rfy - hdy) * mix_t,
+                                   hdz + (rfz - hdz) * mix_t)
+            inc_n = [inc[ch] + m_emis[ch] * m_emis_k * tr[ch]
+                     for ch in range(4)]
+            tr_n = [tr[ch] * jnp.where(is_spec, m_spec_c[ch], m_color[ch])
+                    for ch in range(4)]
+
+            # ---- select branch + russian roulette ------------------------
+            ndx = jnp.where(is_glass, gdx, ndx)
+            ndy = jnp.where(is_glass, gdy, ndy)
+            ndz = jnp.where(is_glass, gdz, ndz)
+            nox = jnp.where(is_glass, gox, hx)
+            noy = jnp.where(is_glass, goy, hy)
+            noz = jnp.where(is_glass, goz, hz)
+            ntr = [jnp.where(is_glass, tr_g[ch], tr_n[ch])
+                   for ch in range(4)]
+            ninc = [jnp.where(is_glass | ~alive_b, inc[ch], inc_n[ch])
+                    for ch in range(4)]
+            nseed = jnp.where(is_glass, seed_g, seed_n)
+
+            p = jnp.maximum(ntr[0], jnp.maximum(ntr[1], ntr[2]))
+            r_rr, nseed = _rand(nseed)
+            survive = r_rr < p
+            pd = jnp.where(p > 0.0, p, 1.0)
+            ntr = [t / pd for t in ntr]
+
+            ox = jnp.where(alive_b, nox, ox)
+            oy = jnp.where(alive_b, noy, oy)
+            oz = jnp.where(alive_b, noz, oz)
+            dx2 = jnp.where(alive_b, ndx, dx)
+            dy2 = jnp.where(alive_b, ndy, dy)
+            dz2 = jnp.where(alive_b, ndz, dz)
+            tr = [jnp.where(alive_b, ntr[ch], tr[ch]) for ch in range(4)]
+            seed = jnp.where(alive_b, nseed, seed)
+            alive = jnp.where(alive_b & survive, 1.0, 0.0)
+            return _pack([ox, oy, oz, dx2, dy2, dz2, *tr, *ninc,
+                          alive, segs, *acc]), seed
+
+        in_image_f = jnp.where(in_image, 1.0, 0.0)
+        zeroc = jnp.zeros(SHAPE, jnp.float32)
+        onec = jnp.ones(SHAPE, jnp.float32)
+        st0 = jnp.concatenate(
+            [zeroc, zeroc, zeroc, zeroc, zeroc, onec,
+             onec, onec, onec, onec,
+             zeroc, zeroc, zeroc, zeroc,
+             zeroc, zeroc, zeroc, zeroc, zeroc, zeroc], axis=0)
+        st, _seed = jax.lax.fori_loop(0, rpp * span, body, (st0, seed0))
+        fin = [st[k * BLOCK_ROWS:(k + 1) * BLOCK_ROWS] for k in range(20)]
+        inv = np.float32(1.0 / rpp)
+        or_ref[0] = (fin[16] + fin[10]) * inv
+        og_ref[0] = (fin[17] + fin[11]) * inv
+        ob_ref[0] = (fin[18] + fin[12]) * inv
+        oa_ref[0] = (fin[19] + fin[13]) * inv
+        seg_ref[0] = fin[15]
+
+    return kernel
+
+
+def _pack_tables(scene: RenderScene):
+    # traced-friendly (runs under jit): jnp ops only
+    S = scene.n_spheres
+    SCHUNK = _schunk(S)
+    S_pad = max(-(-S // SCHUNK) * SCHUNK, SCHUNK)
+    sph = jnp.zeros((S_pad, 8), jnp.float32)
+    sph = sph.at[:, 0].set(1e30)  # dummy spheres can never be hit
+    sph = sph.at[:S, 0:3].set(scene.sphere_pos)
+    sph = sph.at[:S, 3].set(scene.sphere_radius)
+    mrows = jnp.take(scene.mat_rows, scene.sphere_mat, axis=0)  # (S, 32)
+    mT = jnp.zeros((F_ROWS, S_pad), jnp.float32)
+    mT = mT.at[:32, :S].set(mrows.T)
+    mT = mT.at[F_PX:F_PZ + 1, :S].set(scene.sphere_pos.T)
+    mT = mT.at[F_RAD, :S].set(scene.sphere_radius)
+    return sph, mT, S_pad
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "width", "height", "bounces", "rays_per_pixel", "skybox", "rows",
+    "row_start", "interpret"))
+def render_spheres_pallas(scene: RenderScene, frames, *, width: int,
+                          height: int, bounces: int, rays_per_pixel: int,
+                          skybox: bool, row_start=0, rows: int | None = None,
+                          interpret: bool = False):
+    """Whole-image sphere-scene render. Returns ((rows, width, 4), segments).
+    Same RNG streams as the tiled/megakernel paths."""
+    rows = height if rows is None else rows
+    total = rows * width
+    rpp = max(rays_per_pixel, 1)
+    n_blocks = -(-total // BLOCK)
+
+    sph, mT, S_pad = _pack_tables(scene)
+
+    cam = scene.cam_to_world
+    cam_c = jnp.concatenate([
+        cam[:3, :3].reshape(-1), cam[:3, 3],
+        scene.view_params,
+        (scene.defocus_strength / width)[None],
+        (scene.diverge_strength / width)[None],
+        jnp.asarray([jnp.float32(height)]),
+    ]).reshape(1, 18)
+
+    kernel = _make_kernel(S_pad, _schunk(scene.n_spheres), bounces, rpp,
+                          skybox, width, total, int(row_start))
+    px_shape = jax.ShapeDtypeStruct((n_blocks, BLOCK_ROWS, LANES),
+                                    jnp.float32)
+    px_spec = pl.BlockSpec((1, BLOCK_ROWS, LANES), lambda i: (i, 0, 0),
+                           memory_space=pltpu.VMEM)
+    r, g, b, a, segs = pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 18), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((S_pad, 8), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((F_ROWS, S_pad), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(px_spec,) * 5,
+        out_shape=(px_shape,) * 5,
+        interpret=interpret,
+    )(jnp.asarray(frames, jnp.int32).reshape(1, 1), cam_c, sph, mT)
+    img = jnp.stack([r.reshape(-1), g.reshape(-1), b.reshape(-1),
+                     a.reshape(-1)], axis=1)[:total].reshape(rows, width, 4)
+    return img, jnp.sum(segs.reshape(-1)[:total])
