@@ -292,6 +292,11 @@ def _make_parts(scene: RenderScene, B: int, bounces: int, skybox: bool,
         I = I.at[:, I_FLAG].set(jnp.where(better, raw, I[:, I_FLAG]))
 
         new_ptr = jnp.where(at_end, ptr + 1, ptr)
+        # NOTE: for n_bvh == 1 the entering block below is logically dead
+        # (new_ptr always reaches n_bvh) — but compiling it OUT measured
+        # 10% SLOWER on the dragon (8.25 -> 7.43 Mrays/s): the dead ops
+        # overlap gather latency and removing them perturbs XLA's loop
+        # schedule. Keep it.
         entering = at_end & (new_ptr < n_bvh)
         w2m = w2m_for(new_ptr)
         d = F[:, 3:6]
@@ -356,12 +361,21 @@ def _make_parts(scene: RenderScene, B: int, bounces: int, skybox: bool,
                                  incoming)
         shading = alive & hit["hit"]
 
+        # STATIC specialization (scene.shade_classes): branches a scene can
+        # never take are compiled out entirely — the dragon has no glass, so
+        # its boundary phase carries no refract/Schlick/Beer-Lambert code.
+        # RNG parity is preserved: the glass draw chain forks from the same
+        # seed as the non-glass chain and non-glass lanes never read it.
+        has_glass = "glass" in scene.shade_classes
+        has_texture = "texture" in scene.shade_classes
+
         m = _gather_material(scene, hit["mat_id"])
-        is_glass = m["flag"] == GLASS
+        is_glass = (m["flag"] == GLASS) if has_glass \
+            else jnp.zeros((B,), bool)
         normal = hit["normal"]
         backface = hit["backface"]
 
-        if normal_maps:
+        if normal_maps and "normal_map" in scene.shade_classes:
             # Tangent-frame normal mapping — the reference stubbed this out
             # (ray_tracer.wgsl:440-447). Mesh hits only (spheres carry no
             # tangent frame); the sampled map is decoded as 2n-1 and rotated
@@ -383,31 +397,33 @@ def _make_parts(scene: RenderScene, B: int, bounces: int, skybox: bool,
                                + normal * nt[:, 2:3])
             normal = jnp.where(has_nm[:, None], n_pert, normal)
 
-        absorb = jnp.exp(-hit["dst"][:, None] * m["absorption"][:, :3]
-                         * m["absorption_strength"][:, None])
-        trans_g = jnp.where((is_glass & backface)[:, None],
-                            jnp.concatenate([trans[:, :3] * absorb,
-                                             jnp.ones((B, 1))], axis=1),
-                            trans)
-        ior = jnp.where(backface, m["ior"], 1.0 / m["ior"])
-        reflect_dir = reflect(d, normal)
-        refract_dir = refract(d, normal, ior[:, None])
-        cos_theta = jnp.minimum(dot(-d, normal), 1.0)
-        sin_theta = jnp.sqrt(jnp.maximum(1.0 - cos_theta * cos_theta, 0.0))
-        cannot_refract = ior * sin_theta > 1.0
-        r_refl, seed_refl = rng.rand(seed)
-        seed_g = jnp.where(cannot_refract, seed, seed_refl)
-        follow_reflection = cannot_refract | (_reflectance(cos_theta, ior)
-                                              > r_refl)
-        rand_dir_g, seed_g = rng.rand_direction(seed_g)
-        diffuse_g = normalize(normal + rand_dir_g)
-        reflect_mix = normalize(lerp(diffuse_g, reflect_dir,
-                                     m["specular"][:, None]))
-        refract_mix = normalize(lerp(-diffuse_g, refract_dir,
-                                     m["smoothness"][:, None]))
-        dir_g = jnp.where(follow_reflection[:, None], reflect_mix, refract_mix)
-        origin_g = hit["point"] + 1e-4 * normal \
-            * jnp.sign(dot(normal, dir_g))[:, None]
+        if has_glass:
+            absorb = jnp.exp(-hit["dst"][:, None] * m["absorption"][:, :3]
+                             * m["absorption_strength"][:, None])
+            trans_g = jnp.where((is_glass & backface)[:, None],
+                                jnp.concatenate([trans[:, :3] * absorb,
+                                                 jnp.ones((B, 1))], axis=1),
+                                trans)
+            ior = jnp.where(backface, m["ior"], 1.0 / m["ior"])
+            reflect_dir = reflect(d, normal)
+            refract_dir = refract(d, normal, ior[:, None])
+            cos_theta = jnp.minimum(dot(-d, normal), 1.0)
+            sin_theta = jnp.sqrt(jnp.maximum(1.0 - cos_theta * cos_theta, 0.0))
+            cannot_refract = ior * sin_theta > 1.0
+            r_refl, seed_refl = rng.rand(seed)
+            seed_g = jnp.where(cannot_refract, seed, seed_refl)
+            follow_reflection = cannot_refract | (_reflectance(cos_theta, ior)
+                                                  > r_refl)
+            rand_dir_g, seed_g = rng.rand_direction(seed_g)
+            diffuse_g = normalize(normal + rand_dir_g)
+            reflect_mix = normalize(lerp(diffuse_g, reflect_dir,
+                                         m["specular"][:, None]))
+            refract_mix = normalize(lerp(-diffuse_g, refract_dir,
+                                         m["smoothness"][:, None]))
+            dir_g = jnp.where(follow_reflection[:, None], reflect_mix,
+                              refract_mix)
+            origin_g = hit["point"] + 1e-4 * normal \
+                * jnp.sign(dot(normal, dir_g))[:, None]
 
         r_spec, seed_n = rng.rand(seed)
         is_specular = m["specular"] >= r_spec
@@ -417,25 +433,35 @@ def _make_parts(scene: RenderScene, B: int, bounces: int, skybox: bool,
         dir_n = normalize(lerp(diffuse_n, specular_dir,
                                (m["smoothness"] * is_specular)[:, None]))
         incoming_n = incoming + emitted * trans
-        textured = (m["flag"] == TEXTURE) & (m["diffuse_index"] != -1)
-        # texture fetches are the boundary's only gathers besides materials;
-        # skip them entirely when no lane shades a textured surface
-        tex_color = jax.lax.cond(
-            jnp.any(textured & shading),
-            lambda: sample_bilinear(scene.tex_texels, scene.tex_meta,
-                                    m["diffuse_index"], hit["uv"]),
-            lambda: m["color"])
-        color = jnp.where(textured[:, None], tex_color, m["color"])
+        if has_texture:
+            textured = (m["flag"] == TEXTURE) & (m["diffuse_index"] != -1)
+            # texture fetches are the boundary's only gathers besides
+            # materials; skip them when no lane shades a textured surface
+            tex_color = jax.lax.cond(
+                jnp.any(textured & shading),
+                lambda: sample_bilinear(scene.tex_texels, scene.tex_meta,
+                                        m["diffuse_index"], hit["uv"]),
+                lambda: m["color"])
+            color = jnp.where(textured[:, None], tex_color, m["color"])
+        else:
+            color = m["color"]
         trans_n = trans * jnp.where(is_specular[:, None],
                                     m["specular_color"], color)
 
-        g = is_glass[:, None]
-        new_dir = jnp.where(g, dir_g, dir_n)
-        new_origin = jnp.where(g, origin_g, hit["point"])
-        new_trans = jnp.where(g, trans_g, trans_n)
-        new_incoming = jnp.where(is_glass[:, None] | ~shading[:, None],
-                                 incoming, incoming_n)
-        new_seed = jnp.where(is_glass, seed_g, seed_n)
+        if has_glass:
+            g = is_glass[:, None]
+            new_dir = jnp.where(g, dir_g, dir_n)
+            new_origin = jnp.where(g, origin_g, hit["point"])
+            new_trans = jnp.where(g, trans_g, trans_n)
+            new_incoming = jnp.where(g | ~shading[:, None],
+                                     incoming, incoming_n)
+            new_seed = jnp.where(is_glass, seed_g, seed_n)
+        else:
+            new_dir = dir_n
+            new_origin = hit["point"]
+            new_trans = trans_n
+            new_incoming = jnp.where(~shading[:, None], incoming, incoming_n)
+            new_seed = seed_n
 
         p = jnp.max(new_trans[:, :3], axis=1)
         r_rr, new_seed = rng.rand(new_seed)

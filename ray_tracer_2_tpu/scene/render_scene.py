@@ -40,6 +40,19 @@ log = logging.getLogger(__name__)
 LEAF_CHUNK = 8
 
 
+def _shade_classes(records) -> tuple:
+    """Material-class summary for kernel specialization (STATIC pytree
+    field): which shading branches can the scene ever take?"""
+    classes = []
+    if any(int(r.flag) == 1 for r in records):                   # GLASS
+        classes.append("glass")
+    if any(int(r.flag) == 2 and r.diffuse_index != -1 for r in records):
+        classes.append("texture")
+    if any(r.normal_index != -1 for r in records):
+        classes.append("normal_map")
+    return tuple(classes)
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class RenderScene:
@@ -123,6 +136,15 @@ class RenderScene:
     #: shades with id + delta (0 for canonical/unshared instances).
     inst_mat_deltas: tuple = dataclasses.field(metadata=dict(static=True),
                                                default=())
+    #: STATIC material-class summary ("glass"/"texture"/"normal_map" subset):
+    #: lets the shading kernel compile OUT whole branches a scene never takes
+    #: (the dragon has no glass → no refract/Schlick/Beer-Lambert code at
+    #: all). RNG parity holds because the glass draw chain is independent of
+    #: the non-glass chain (both fork from the same seed). Recomputed on
+    #: material edits (a flag toggle recompiles, like any static change).
+    shade_classes: tuple = dataclasses.field(metadata=dict(static=True),
+                                             default=("glass", "texture",
+                                                      "normal_map"))
 
     @property
     def n_spheres(self) -> int:
@@ -212,7 +234,8 @@ class HostScene:
         row = jnp.asarray(_pack_material_rows([rec])[0])
         rs = dataclasses.replace(rs, mat_rows=rs.mat_rows.at[mat_id].set(row))
         table = MaterialTable.from_records(self.records)
-        rs = dataclasses.replace(rs, materials=table)
+        rs = dataclasses.replace(rs, materials=table,
+                                 shade_classes=_shade_classes(self.records))
         self.render_scene = rs
         if rec.flag != flag_before:
             self._repack_cull_flags()
@@ -540,6 +563,7 @@ def instantiate_scene(definition: SceneDefinition,
         wide_roots=tuple(int(r) for r in wide_root_list),
         wide_depth=int(wide_depth),
         inst_mat_deltas=tuple(int(d) for d in inst_mat_delta),
+        shade_classes=_shade_classes(records),
         tri_attr=jnp.asarray(tri_attr),
         mat_rows=jnp.asarray(mat_rows),
         tex_meta=jnp.asarray(tex_meta),
