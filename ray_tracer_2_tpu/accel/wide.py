@@ -1,25 +1,47 @@
-"""16-ary (wide) BVH rows — one CANONICAL table, contiguous children.
+"""COMPACT 32-ary (wide) BVH rows — one CANONICAL table, contiguous children.
 
 Round-2 traversal redesign (docs/PERF_NOTES.md "Round-2 measurement
 campaign"): XLA dependent gathers are throughput-bound per ROW, so FETCH
 COUNT is the only lever — and tables under the gather engine's ~8 MB
 cliff run 2.3x faster, so ONE canonical table beats 8 octant-ordered
-copies. Replayed on the real dragon BVH (scripts/sim_wide.py), a 16-ary
-collapse with a per-lane (base, hitmask) resume stack needs 8-9 row
-fetches per segment vs 29-34 for the binary skip-link scheme. The naive
-wide alternative (skip-link threading, no stack) got WORSE with arity
-because missed later-siblings are passed through one fetch each.
+copies. Replayed on the real dragon BVH, a 16-ary collapse with a
+per-lane (base, hitmask) resume stack needs ~11 row fetches per segment
+vs 29-34 for the binary skip-link scheme (scripts/sim_wide.py), and a
+32-ary collapse cuts that to ~9 (scripts/sim_wide256.py) — but 32 f32
+AABBs don't fit a 512-byte row, and bigger rows gather slower
+(scripts/probe_rowwidth.py: 256-f32 rows cost 1.19x per fetch).
+
+So child AABBs are stored as CONSERVATIVELY-ROUNDED float16 pairs packed
+into f32 columns: 32 children x 6 bounds = 192 f16 = 96 f32 columns, and
+the row stays 128 f32 (512 B — the gather granularity floor). Outward f16
+rounding only GROWS boxes, so traversal stays exact (pruning never loses
+a true hit); the measured visit inflation on the dragon is < 1%
+(scripts/sim_wide32c.py: 8.96 vs 8.95 exact).
+
+The column order is COMPONENT-BLOCKED, not per-child: all 32 min_x values
+first, then min_y, min_z (and the max in each column's high 16 bits).
+This turns the kernel's slab test into ~15 WIDE (B, 32) vector ops
+instead of 32 narrow (B, 3) slices that each waste 125 of 128 VPU lanes
+— measured 194 vs 245-304 us/step for the per-child loop, i.e. the
+compact row is free only in blocked form (scripts/probe_unpack.py).
 
 Layout (one f32[128] row per node):
 
   wide row  (COL_COUNT == 0)
     12      base: first child row id (children CONTIGUOUS)
-    13      k: child count (<= 16)
-    16+6c   child c AABB min (3) then max (3); empty slots hold inverted
-            boxes and are excluded by the c < k gate
+    13      k: child count (<= 32)
+    16..112 children AABBs: 96 f32 cols; col 16 + 32*axis + c packs child
+            c's (min[axis] in the LOW 16 bits, max[axis] in the HIGH 16
+            bits) as f16. The kernel unpacks with integer shifts/masks +
+            one exponent-fix multiply (no f16 dtype ops, no lane
+            relayout); bounds are pre-clamped away from the f16 denormal
+            range so denormal-flush on the unpack path cannot shrink a
+            box. Empty slots hold inverted boxes and are excluded by the
+            c < k gate
   leaf row  (COL_COUNT > 0): identical to accel/packed.py leaf rows
     (COL_FIRST/COL_MATS/COL_CULLS/COL_TRIS) so the megakernel's leaf
-    intersection code is shared between both traversals.
+    intersection code is shared between both traversals. Leaf triangle
+    data stays EXACT f32 — only the pruning boxes are f16.
 
 Near-first ordering is per-ray: the kernel enters the MINIMUM-DISTANCE
 hit child; the resume stack stores (base child-row id, remaining hit
@@ -45,8 +67,54 @@ from ray_tracer_2_tpu.accel.packed import (  # shared leaf-row layout
 ROW_WIDTH = 128
 COL_BASE = 12
 COL_K = 13
-COL_CHILD_AABB = 16   # wide rows only
-MAX_ARITY = 16
+COL_CHILD_AABB = 16   # wide rows only: 96 f32 cols of packed f16 pairs
+N_AABB_COLS = 96
+MAX_ARITY = 32
+
+
+_F16_MIN_NORMAL = np.float16(2.0 ** -14)
+
+
+def _round_out_f16(lo: np.ndarray, hi: np.ndarray):
+    """Conservative outward rounding of box bounds to f16: lo rounds toward
+    -inf, hi toward +inf, so boxes only grow (pruning stays exact).
+
+    Denormal f16 results are pushed outward to the nearest of {0, ±2^-14}:
+    the kernel's integer unpack multiplies a reconstructed f32 denormal by
+    2^112, and a denormal-flushing VPU would snap that toward zero — which
+    for a NEGATIVE min (or positive max) would SHRINK the box. Clamping at
+    pack time keeps every stored bound exactly representable post-unpack."""
+    lo16 = lo.astype(np.float16)
+    over = lo16.astype(np.float32) > lo
+    lo16 = np.where(over, np.nextafter(lo16, np.float16(-np.inf)), lo16)
+    den = (lo16 != 0) & (np.abs(lo16) < _F16_MIN_NORMAL)
+    lo16 = np.where(den, np.where(lo16 > 0, np.float16(0), -_F16_MIN_NORMAL),
+                    lo16)
+    hi16 = hi.astype(np.float16)
+    under = hi16.astype(np.float32) < hi
+    hi16 = np.where(under, np.nextafter(hi16, np.float16(np.inf)), hi16)
+    den = (hi16 != 0) & (np.abs(hi16) < _F16_MIN_NORMAL)
+    hi16 = np.where(den, np.where(hi16 > 0, _F16_MIN_NORMAL, np.float16(0)),
+                    hi16)
+    return lo16.astype(np.float16), hi16.astype(np.float16)
+
+
+def _pack_f16_pairs(vals: np.ndarray) -> np.ndarray:
+    """(..., 2n) f16 -> (..., n) f32 with even indices in the LOW 16 bits
+    (matches jax.lax.bitcast_convert_type(f32 -> f16)[..., 0])."""
+    u16 = np.ascontiguousarray(vals).view(np.uint16)
+    lo = u16[..., 0::2].astype(np.uint32)
+    hi = u16[..., 1::2].astype(np.uint32) << 16
+    return (lo | hi).view(np.float32)
+
+
+def _unpack_f16_pairs(cols: np.ndarray) -> np.ndarray:
+    """(..., n) f32 -> (..., 2n) f16 (inverse of _pack_f16_pairs)."""
+    u32 = np.ascontiguousarray(cols).view(np.uint32)
+    out = np.empty(cols.shape[:-1] + (cols.shape[-1] * 2,), np.uint16)
+    out[..., 0::2] = (u32 & 0xFFFF).astype(np.uint16)
+    out[..., 1::2] = (u32 >> 16).astype(np.uint16)
+    return out.view(np.float16)
 
 
 @dataclasses.dataclass
@@ -161,7 +229,7 @@ def pack_wide_rows(bvh: BVH, v0, v1, v2, tri_mat, tri_cull,
         r[COL_BASE] = base
         r[COL_K] = len(kids)
         r[COL_COUNT] = 0.0
-        aab = r[COL_CHILD_AABB:COL_CHILD_AABB + 96].reshape(16, 6)
+        aab = np.empty((MAX_ARITY, 6), np.float32)
         # empty slots: inverted boxes never hit
         aab[:, 0:3] = np.inf
         aab[:, 3:6] = -np.inf
@@ -173,6 +241,13 @@ def pack_wide_rows(bvh: BVH, v0, v1, v2, tri_mat, tri_cull,
                 rows[crow] = leaf_row(c)
             else:
                 queue.append((wb.wide_of[c], crow))
+        lo16, hi16 = _round_out_f16(aab[:, 0:3], aab[:, 3:6])
+        # col 32*axis + c = (min[axis] of child c in low half, max in high)
+        inter = np.empty((N_AABB_COLS, 2), np.float16)
+        inter[:, 0] = lo16.T.reshape(-1)   # blocked: x*32 | y*32 | z*32
+        inter[:, 1] = hi16.T.reshape(-1)
+        r[COL_CHILD_AABB:COL_CHILD_AABB + N_AABB_COLS] = \
+            _pack_f16_pairs(inter.reshape(-1))
 
     # globalize base ids
     rows[:, COL_BASE] += np.where(rows[:, COL_COUNT] == 0.0, row_offset, 0.0)
@@ -217,10 +292,15 @@ def traverse_wide_numpy(rows_oct: np.ndarray, o, d, t_limit=np.inf,
                     best, best_tri = dst, int(r[COL_FIRST]) + j
                     best_u, best_v, best_det = u, v, det
         else:
-            aab = r[COL_CHILD_AABB:COL_CHILD_AABB + 96].reshape(16, 6)
+            pairs = _unpack_f16_pairs(
+                r[COL_CHILD_AABB:COL_CHILD_AABB + N_AABB_COLS]
+            ).astype(np.float32).reshape(N_AABB_COLS, 2)
+            lo = pairs[:, 0].reshape(3, MAX_ARITY).T   # (32, 3) mins
+            hi = pairs[:, 1].reshape(3, MAX_ARITY).T
+            aab = np.concatenate([lo, hi], axis=1)
             mask = 0
             dn_min, c_min = np.inf, -1
-            for c in range(16):
+            for c in range(MAX_ARITY):
                 t1 = (aab[c, 0:3] - o) * inv
                 t2 = (aab[c, 3:6] - o) * inv
                 tn = np.minimum(t1, t2).max()

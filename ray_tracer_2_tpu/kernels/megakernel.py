@@ -8,8 +8,9 @@ while_loop: each ray advances its own (segment, instance, node) state every
 iteration, and the expensive segment-boundary work (shading + RNG + sphere
 and brute-force prepass for the next segment) runs as a masked phase gated by
 ``lax.cond`` every SHADE_EVERY iterations, so its cost is amortized while
-traversal — one 16-ary wide-row gather per step (accel/wide.py; 3.6x fewer
-dependent gathers than binary skip links) — stays the steady-state body.
+traversal — one compact 32-ary wide-row gather per step (accel/wide.py;
+~4x fewer dependent gathers than binary skip links) — stays the
+steady-state body.
 
 Two entry points share the same parts:
 
@@ -110,9 +111,10 @@ def _make_parts(scene: RenderScene, B: int, bounces: int, skybox: bool,
         return _sel4x4(m2w_all, list(range(scene.n_instances)), raw)
 
     # ------------------------------------------------ traversal step --
-    # 16-ary wide rows + per-lane (base, hitmask) resume stack
-    # (accel/wide.py). Fetch count is the currency: 8-9 rows/segment vs
-    # 29-34 for the binary skip-link tables (scripts/sim_wide.py replay).
+    # Compact 32-ary wide rows (f16 child boxes, component-blocked) +
+    # per-lane (base, hitmask) resume stack (accel/wide.py). Fetch count
+    # is the currency: ~9 rows/segment vs 29-34 for the binary skip-link
+    # tables (scripts/sim_wide256.py replay).
     from ray_tracer_2_tpu.accel import wide as wd
 
     stack_cols = jnp.arange(D, dtype=jnp.int32)[None, :]
@@ -131,29 +133,74 @@ def _make_parts(scene: RenderScene, B: int, bounces: int, skybox: bool,
                             jnp.broadcast_to(root_rows[j], (B, 128)), out)
         return out
 
+    # f16 unpack via integer arithmetic: no f16 dtype ops, no lane
+    # relayout; the magic multiply rebiases the exponent (2^112 maps f16
+    # bias 15 onto f32 bias 127). f16 inf maps to a finite 2^143 — still
+    # larger than any scene bound, fine for slabs. Denormals are excluded
+    # at pack time (accel/wide.py _round_out_f16).
+    F16_MAGIC = jax.lax.bitcast_convert_type(
+        jnp.uint32(0x77800000), jnp.float32)
+
+    def f16_bits_to_f32(bits):
+        sign = (bits & 0x8000) << 16
+        mag = (bits & 0x7FFF) << 13
+        return jax.lax.bitcast_convert_type(
+            (sign | mag).astype(jnp.uint32), jnp.float32) * F16_MAGIC
+
+    def unpack_child_aabbs(row):
+        """(B, 128) f32 row -> ((B, 96) lo, (B, 96) hi) child bounds in the
+        COMPONENT-BLOCKED order min_x*32 | min_y*32 | min_z*32 (maxes in
+        the high halves) — see accel/wide.py. Blocked order lets the slab
+        test run as ~15 wide (B, 32) vector ops instead of 32 narrow
+        (B, 3) slices that each waste 125/128 VPU lanes (measured 194 vs
+        245-304 us/step, scripts/probe_unpack.py)."""
+        cols = row[:, wd.COL_CHILD_AABB:wd.COL_CHILD_AABB + wd.N_AABB_COLS]
+        u = jax.lax.bitcast_convert_type(cols, jnp.uint32)
+        return f16_bits_to_f32(u & 0xFFFF), f16_bits_to_f32(u >> 16)
+
+    A = wd.MAX_ARITY
+    child_lane = jnp.arange(A, dtype=jnp.int32)[None, :]
+
+    def slab_blocked(lo, hi, om, inv, limit):
+        """(B, 96) blocked bounds -> ((B, 32) hit, (B, 32) t_near); exact
+        same arithmetic as kernels/intersect.py:ray_aabb_dist, vectorized
+        across children instead of axes."""
+        t1x = (lo[:, 0:A] - om[:, 0:1]) * inv[:, 0:1]
+        t2x = (hi[:, 0:A] - om[:, 0:1]) * inv[:, 0:1]
+        t1y = (lo[:, A:2*A] - om[:, 1:2]) * inv[:, 1:2]
+        t2y = (hi[:, A:2*A] - om[:, 1:2]) * inv[:, 1:2]
+        t1z = (lo[:, 2*A:3*A] - om[:, 2:3]) * inv[:, 2:3]
+        t2z = (hi[:, 2*A:3*A] - om[:, 2:3]) * inv[:, 2:3]
+        tn = jnp.maximum(jnp.maximum(jnp.minimum(t1x, t2x),
+                                     jnp.minimum(t1y, t2y)),
+                         jnp.minimum(t1z, t2z))
+        tf = jnp.minimum(jnp.minimum(jnp.maximum(t1x, t2x),
+                                     jnp.maximum(t1y, t2y)),
+                         jnp.maximum(t1z, t2z))
+        hit = (tf >= tn) & (tn < limit[:, None]) & (tf > 0.0)
+        return hit, tn
+
+    def wide_eval(row, om, inv_dm, limit, k):
+        """Shared wide-row evaluation: (mask, c_min) with c_min the
+        nearest-entry hit child (first index on ties, like argmin)."""
+        lo_a, hi_a = unpack_child_aabbs(row)
+        hit, tn = slab_blocked(lo_a, hi_a, om, inv_dm, limit)
+        hit = hit & (child_lane < k[:, None])
+        mask = jnp.sum(hit.astype(jnp.int32) << child_lane, axis=1)
+        c_min = jnp.argmin(jnp.where(hit, tn, INF), axis=1).astype(jnp.int32)
+        return mask, c_min
+
     def wide_enter(row, om, dm, enter, SB, SM):
         """Evaluate a wide row for freshly-entering lanes (t_limit = INF):
         nearest-hit child entry + remainder push onto an empty stack.
         Returns (cur — -1 on miss, SB, SM, sp, k)."""
         inv_dm = 1.0 / dm
-        limit = jnp.full((B,), INF)
         k = row[:, wd.COL_K].astype(jnp.int32)
-        mask = jnp.zeros((B,), jnp.int32)
-        dn_min = jnp.full((B,), INF)
-        c_min = jnp.zeros((B,), jnp.int32)
-        for c in range(16):
-            o = wd.COL_CHILD_AABB + 6 * c
-            dn = ray_aabb_dist(om, inv_dm, row[:, o:o + 3],
-                               row[:, o + 3:o + 6], limit)
-            hit_c = (dn < INF) & (c < k)
-            mask = mask | (hit_c.astype(jnp.int32) << c)
-            nearer = hit_c & (dn < dn_min)
-            dn_min = jnp.where(nearer, dn, dn_min)
-            c_min = jnp.where(nearer, c, c_min)
+        mask, c_min = wide_eval(row, om, inv_dm, jnp.full((B,), INF), k)
         base = row[:, wd.COL_BASE].astype(jnp.int32)
-        has = mask > 0
+        has = mask != 0   # bit 31 makes int32 masks negative
         rem = mask & ~jnp.left_shift(jnp.int32(1), c_min)
-        push = enter & has & (rem > 0)
+        push = enter & has & (rem != 0)
         at0 = (stack_cols == 0) & push[:, None]
         SB = jnp.where(at0, base[:, None], SB)
         SM = jnp.where(at0, rem[:, None], SM)
@@ -174,26 +221,15 @@ def _make_parts(scene: RenderScene, B: int, bounces: int, skybox: bool,
         is_leaf = active & (count > 0.5)
         is_wide = active & (count < 0.5)
 
-        # ---- wide row: test up to 16 child slabs; enter the NEAREST hit
-        # child (per-ray), stack the rest as a positional hit mask ----
+        # ---- wide row: test up to 32 child slabs (one blocked vector op
+        # batch); enter the NEAREST hit child (per-ray), stack the rest as
+        # a positional hit mask. Empty slots hold inverted boxes; the
+        # c < k gate inside wide_eval is what really excludes them ----
         k = row[:, wd.COL_K].astype(jnp.int32)
-        mask = jnp.zeros((B,), jnp.int32)
-        dn_min = jnp.full((B,), INF)
-        c_min = jnp.zeros((B,), jnp.int32)
-        for c in range(16):
-            o = wd.COL_CHILD_AABB + 6 * c
-            dn = ray_aabb_dist(om, inv_dm, row[:, o:o + 3],
-                               row[:, o + 3:o + 6], best_dst)
-            # empty slots hold inverted boxes whose slab test degenerates to
-            # (-inf, +inf) — the c < k gate is what really excludes them
-            hit_c = (dn < INF) & (c < k)
-            mask = mask | (hit_c.astype(jnp.int32) << c)
-            nearer = hit_c & (dn < dn_min)
-            dn_min = jnp.where(nearer, dn, dn_min)
-            c_min = jnp.where(nearer, c, c_min)
+        mask, c_min = wide_eval(row, om, inv_dm, best_dst, k)
         mask = jnp.where(is_wide, mask, 0)
         base = row[:, wd.COL_BASE].astype(jnp.int32)
-        has = mask > 0
+        has = mask != 0   # bit 31 makes int32 masks negative
         child = base + c_min
         rem = mask & ~jnp.left_shift(jnp.int32(1), c_min)
 
@@ -220,7 +256,7 @@ def _make_parts(scene: RenderScene, B: int, bounces: int, skybox: bool,
         # ---- stack: push the remaining-hits entry, or pop to resume ----
         SB, SM = S[:, :D], S[:, D:]
         sp = I[:, I_SP]
-        push = is_wide & has & (rem > 0)
+        push = is_wide & has & (rem != 0)
         at_sp = (stack_cols == sp[:, None]) & push[:, None]
         SB = jnp.where(at_sp, base[:, None], SB)
         SM = jnp.where(at_sp, rem[:, None], SM)
@@ -234,7 +270,7 @@ def _make_parts(scene: RenderScene, B: int, bounces: int, skybox: bool,
         plow = top_m & -top_m
         pchild = top_b + jax.lax.population_count(jnp.maximum(plow - 1, 0))
         prem = top_m ^ plow
-        SM = jnp.where(at_top & (can_pop & (prem > 0))[:, None],
+        SM = jnp.where(at_top & (can_pop & (prem != 0))[:, None],
                        prem[:, None], SM)
         sp = sp - (can_pop & (prem == 0)).astype(jnp.int32)
 
