@@ -135,3 +135,15 @@ def pack_tri_attributes(n0, n1, n2, uv0, uv1, uv2,
         attr[:, 15:18] = tan.astype(np.float32)
         attr[:, 18] = np.where(hand == 0, 1.0, hand).astype(np.float32)
     return attr
+
+
+def pack_attr_quads(attr: np.ndarray) -> np.ndarray:
+    """(T, 20) attribute rows -> (ceil(T/4), 128) quad-packed rows: triangle
+    t lives in row t//4, cols 32*(t%4) .. 32*(t%4)+20. 512-byte rows gather
+    ~1.4x faster than the narrow 80-byte layout (kernels/gatherlib.py
+    fetch_attr); padding cols are zero."""
+    t = attr.shape[0]
+    t4 = (t + 3) // 4
+    out = np.zeros((t4 * 4, 32), np.float32)
+    out[:t, :attr.shape[1]] = attr
+    return out.reshape(t4, 128)

@@ -33,3 +33,18 @@ def fetch_rows(table: jax.Array, idx: jax.Array) -> jax.Array:
     if table.shape[0] <= ONEHOT_MAX_ROWS:
         return onehot_fetch(table, idx)
     return jnp.take(table, idx, axis=0)
+
+
+def fetch_attr(table: jax.Array, idx: jax.Array) -> jax.Array:
+    """Fetch triangle-attribute row ``idx`` from the QUAD-PACKED attribute
+    table (4 triangles per 128-col row, 32 cols each — accel/packed.py
+    pack_attr_quads). Returns (B, 32).
+
+    Narrow rows gather badly: the (T, 20) layout measured 324 us/step vs
+    233 us for this packed fetch + two hierarchical halving selects
+    (scripts/probe_shade.py — per-child (B, 16/32) select chains and the
+    8-per-row variant both measured worse)."""
+    row = fetch_rows(table, jax.lax.shift_right_logical(idx, 2))
+    g = idx & 3
+    half = jnp.where((g >= 2)[:, None], row[:, 64:128], row[:, 0:64])
+    return jnp.where((g & 1 == 1)[:, None], half[:, 32:64], half[:, 0:32])

@@ -42,7 +42,7 @@ import jax.numpy as jnp
 
 from ray_tracer_2_tpu import rng
 from ray_tracer_2_tpu.kernels.brute import BRUTE_MAX_TRIS, brute_force_intersect
-from ray_tracer_2_tpu.kernels.gatherlib import fetch_rows
+from ray_tracer_2_tpu.kernels.gatherlib import fetch_attr, fetch_rows
 from ray_tracer_2_tpu.kernels.intersect import INF, ray_sphere, ray_triangle, \
     ray_aabb_dist, sphere_normal_uv
 from ray_tracer_2_tpu.kernels.texture import sample_bilinear
@@ -367,7 +367,7 @@ def _make_parts(scene: RenderScene, B: int, bounces: int, skybox: bool,
 
         seg_tri = I[:, I_STRI]
         hit_mesh = seg_tri >= 0
-        attr = fetch_rows(scene.tri_attr, jnp.maximum(seg_tri, 0))
+        attr = fetch_attr(scene.tri_attr, jnp.maximum(seg_tri, 0))
         m2w = m2w_raw(jnp.clip(I[:, I_FLAG], 0, scene.n_instances - 1))
         u, v, det = W[:, 1], W[:, 2], W[:, 3]
         w_bar = 1.0 - u - v

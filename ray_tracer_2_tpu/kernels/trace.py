@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from ray_tracer_2_tpu import rng
-from ray_tracer_2_tpu.kernels.gatherlib import fetch_rows
+from ray_tracer_2_tpu.kernels.gatherlib import fetch_attr, fetch_rows
 from ray_tracer_2_tpu.kernels.intersect import (
     INF, ray_sphere, sphere_normal_uv,
 )
@@ -140,7 +140,7 @@ def compute_hit(scene: RenderScene, origin, direction, inv_dir):
         mesh_better = (m_tri >= 0) & (m_dst < best_dst)
         # Winner attributes: one packed row (normals+uvs), one matrix gather.
         safe_tri = jnp.maximum(m_tri, 0)
-        attr = fetch_rows(scene.tri_attr, safe_tri)  # (B, 16)
+        attr = fetch_attr(scene.tri_attr, safe_tri)  # (B, 32)
         m2w_sel = jnp.take(scene.inst_model_to_world, m_inst, axis=0)
         det = m_det
         w_bar = 1.0 - m_u - m_v

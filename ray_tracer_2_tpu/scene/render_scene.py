@@ -97,7 +97,8 @@ class RenderScene:
 
     # Packed single-gather-per-step tables (accel/packed.py):
     packed_rows: jax.Array       # (8*N, 64) f32 — octant node rows
-    tri_attr: jax.Array          # (T, 20) f32 — normals, uvs, tangent frame
+    tri_attr: jax.Array          # (ceil(T/4), 128) f32 quad-packed attr rows
+                                 # (normals, uvs, tangent frame — accel/packed.py)
     mat_rows: jax.Array          # (K, 32) f32 — packed material records
     tex_meta: jax.Array          # (64, 4) f32 — offset, h, w per texture slot
 
@@ -514,7 +515,8 @@ def instantiate_scene(definition: SceneDefinition,
         sphere_mat = np.zeros(0, np.int32)
 
     # Packed octant rows: concat groups along the node axis, flatten octants.
-    from ray_tracer_2_tpu.accel.packed import ROW_WIDTH, pack_tri_attributes
+    from ray_tracer_2_tpu.accel.packed import ROW_WIDTH, pack_attr_quads, \
+        pack_tri_attributes
     if packed_groups:
         packed = np.concatenate(packed_groups, axis=1).reshape(-1, ROW_WIDTH)
     else:
@@ -523,9 +525,10 @@ def instantiate_scene(definition: SceneDefinition,
         wide = np.concatenate(wide_groups, axis=0)
     else:
         wide = np.zeros((0, ROW_WIDTH), np.float32)
-    tri_attr = pack_tri_attributes(tri["n0"], tri["n1"], tri["n2"],
-                                   tri["uv0"], tri["uv1"], tri["uv2"],
-                                   tri["v0"], tri["v1"], tri["v2"])
+    tri_attr = pack_attr_quads(
+        pack_tri_attributes(tri["n0"], tri["n1"], tri["n2"],
+                            tri["uv0"], tri["uv1"], tri["uv2"],
+                            tri["v0"], tri["v1"], tri["v2"]))
 
     atlas = TextureAtlas.from_images(assets.texture_images())
     table = MaterialTable.from_records(records)
