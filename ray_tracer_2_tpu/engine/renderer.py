@@ -158,10 +158,11 @@ class Renderer:
 
     def _use_pallas_spheres(self, scene: RenderScene,
                             params: RenderParams) -> bool:
-        """Static routing decision for the Mosaic sphere megakernel: TPU
-        backend, sphere-only scene, <= 128 spheres (the dense cross loses
-        above that — measured on random_balls), no texture/normal-map
-        sampling. RT2_PALLAS_SPHERES=0/1 forces it off/on."""
+        """Static routing decision for the Mosaic small-scene megakernel:
+        TPU backend, spheres (<= 128) plus small meshes (<= 256 world-baked
+        triangles — cornell/room); the dense cross loses above those caps
+        (measured on random_balls), and texture/normal-map sampling is not
+        implemented in-kernel. RT2_PALLAS_SPHERES=0/1 forces it off/on."""
         import os
         mode = os.environ.get("RT2_PALLAS_SPHERES", "auto")
         if mode == "0":

@@ -1,10 +1,17 @@
-"""Whole-path Pallas megakernel for sphere-only scenes.
+"""Whole-path Pallas megakernel for SMALL scenes (spheres + small meshes).
 
-metal / balls / random_balls (and the RandomBalls benchmark config) have no
-BVH instances and no textures, so the entire path trace — camera rays, dense
-sphere intersection, glass/diffuse/specular shading, russian roulette,
-rays_per_pixel accumulation — fits in ONE Mosaic kernel with zero HBM
-traffic in the loop.
+metal / balls / random_balls have no BVH instances and no textures;
+cornell_box (32 tris) and room (12 tris + glass spheres) add only small
+meshes. For all of them the entire path trace — camera rays, dense
+sphere AND triangle intersection, glass/diffuse/specular shading, russian
+roulette, rays_per_pixel accumulation — fits in ONE Mosaic kernel with
+zero HBM traffic in the loop. Mesh triangles are pre-baked to WORLD space
+(instance transforms applied once at table build, winding swapped under
+reflecting transforms), so the kernel needs no per-ray instance math; the
+hit distances it produces are world distances, directly comparable with
+the sphere pass for winner selection (the XLA brute path reaches the same
+world distance via model-space rays + a world re-measure, so results
+match to FP noise rather than bit-exactly).
 
 Mosaic layout laws learned the hard way (docs/PERF_NOTES.md):
   * Mosaic UNROLLS array ops into (8, 128)-tile instructions, and the remote
@@ -55,14 +62,32 @@ def _schunk(S: int) -> int:
     return min(MAX_SCHUNK, max(8, -(-S // 8) * 8))
 
 # transposed field-table rows (see _pack_tables): 0:32 = the mat_rows
-# layout, then the winner sphere's centre + radius
+# layout, then the winner sphere's centre + radius, then the winner
+# triangle's three WORLD-space vertex normals (for barycentric shading)
 F_PX, F_PY, F_PZ, F_RAD = 32, 33, 34, 35
-F_ROWS = 40
+F_N0 = 36   # n0 (3 rows), n1 (3), n2 (3) — rows 36..44
+F_ROWS = 48
+
+#: small-MESH scenes also fit whole-path: triangles baked to world space
+#: stream on sublanes exactly like spheres. Above this the dense cross
+#: loses to the XLA brute/megakernel path (same shape of tradeoff as the
+#: 128-sphere gate — measured on random_balls).
+MAX_TRIS = 256
+
+
+def _tri_count(scene: RenderScene) -> int:
+    return sum(c for _, _, c in scene.inst_spans)
 
 
 def eligible(scene: RenderScene) -> bool:
-    """Kernel handles scenes with spheres only and no texture sampling."""
-    if scene.n_instances != 0 or scene.n_spheres == 0:
+    """Whole-path kernel: scenes whose geometry is spheres plus SMALL
+    meshes (total tris <= MAX_TRIS, e.g. Cornell Box's 32), with no
+    texture sampling. Mesh triangles are pre-baked to world space so the
+    kernel needs no per-ray instance transforms."""
+    T = _tri_count(scene)
+    if T > MAX_TRIS:
+        return False
+    if T == 0 and scene.n_spheres == 0:
         return False
     flags = np.asarray(scene.materials.flag)
     diff = np.asarray(scene.materials.diffuse_index)
@@ -106,7 +131,8 @@ def _rand_direction(seed):
     return x, y, z, seed
 
 
-def _make_kernel(S_pad: int, SCHUNK: int, bounces: int, rpp: int,
+def _make_kernel(S: int, S_pad: int, SCHUNK: int, T: int, T_pad: int,
+                 TCHUNK: int, bounces: int, rpp: int,
                  skybox: bool, width: int, total: int, row_start: int):
     from ray_tracer_2_tpu.kernels import trace as _t
     from ray_tracer_2_tpu.kernels.trace import _reflectance
@@ -117,6 +143,10 @@ def _make_kernel(S_pad: int, SCHUNK: int, bounces: int, rpp: int,
     SUN_FOCUS = float(_t.SUN_FOCUS)
     SUN_INTENSITY = float(_t.SUN_INTENSITY)
     n_chunks = S_pad // SCHUNK
+    n_tchunks = T_pad // TCHUNK
+    has_spheres = S > 0
+    has_tris = T > 0
+    C = S_pad + T_pad   # combined one-hot id space; id C = miss
     span = bounces + 1
     SHAPE = (BLOCK_ROWS, LANES)
 
@@ -137,7 +167,7 @@ def _make_kernel(S_pad: int, SCHUNK: int, bounces: int, rpp: int,
             out.append(comp + sun)
         return out
 
-    def kernel(frames_ref, cam_ref, sph_ref, mT_ref,
+    def kernel(frames_ref, cam_ref, sph_ref, tri_ref, mT_ref,
                or_ref, og_ref, ob_ref, oa_ref, seg_ref):
         frames = frames_ref[0, 0]
         cam = [cam_ref[0, i] for i in range(18)]
@@ -233,10 +263,93 @@ def _make_kernel(S_pad: int, SCHUNK: int, bounces: int, rpp: int,
                 (jnp.full(SHAPE, INF), jnp.full(SHAPE, S_pad, jnp.int32),
                  jnp.zeros(SHAPE, jnp.float32)))
 
+        tsub_iota = jax.lax.broadcasted_iota(jnp.int32, (TCHUNK, 1), 0)
+
+        def tri_pass(ox, oy, oz, dx, dy, dz):
+            """Dense closest-hit over all WORLD-baked triangles, same
+            row-by-row x sublane-chunk structure as sphere_pass.
+            Möller–Trumbore per kernels/intersect.py:ray_triangle (the
+            geometric normal is precomputed per triangle at bake time).
+            Returns (best_dst, winner id, u, v, det) as (8, 128) arrays."""
+
+            def do_row(r, carry):
+                bd, bi, bu, bv, bdet = carry
+                sel = rows8 == r
+
+                def pick_row(arr):
+                    return jnp.sum(jnp.where(sel, arr, 0.0), axis=0,
+                                   keepdims=True)
+
+                rox, roy, roz = pick_row(ox), pick_row(oy), pick_row(oz)
+                rdx, rdy, rdz = pick_row(dx), pick_row(dy), pick_row(dz)
+
+                def chunk(k, c2):
+                    cd, ci, cu, cv, cdet = c2
+                    blk = tri_ref[pl.ds(k * TCHUNK, TCHUNK), :]  # (T, 16)
+                    v0x, v0y, v0z = blk[:, 0:1], blk[:, 1:2], blk[:, 2:3]
+                    e1x, e1y, e1z = blk[:, 3:4], blk[:, 4:5], blk[:, 5:6]
+                    e2x, e2y, e2z = blk[:, 6:7], blk[:, 7:8], blk[:, 8:9]
+                    gnx, gny, gnz = blk[:, 9:10], blk[:, 10:11], blk[:, 11:12]
+                    cullc = blk[:, 12:13]
+                    det = -(rdx * gnx + rdy * gny + rdz * gnz)
+                    # NOTE: jnp.where on two BOOL vectors lowers to an i1
+                    # truncation Mosaic rejects — use boolean algebra
+                    cull_b = cullc > 0.5
+                    keep = (cull_b & (det >= 1e-8)) \
+                        | (~cull_b & (jnp.abs(det) >= 1e-8))
+                    inv = 1.0 / jnp.where(keep, det, 1.0)
+                    aox, aoy, aoz = rox - v0x, roy - v0y, roz - v0z
+                    daox = aoy * rdz - aoz * rdy
+                    daoy = aoz * rdx - aox * rdz
+                    daoz = aox * rdy - aoy * rdx
+                    dst = (aox * gnx + aoy * gny + aoz * gnz) * inv
+                    u = (e2x * daox + e2y * daoy + e2z * daoz) * inv
+                    v = -(e1x * daox + e1y * daoy + e1z * daoz) * inv
+                    w = 1.0 - u - v
+                    hitt = keep & (dst > 1e-5) & (u >= 0.0) & (v >= 0.0) \
+                        & (w >= 0.0)
+                    dstw = jnp.where(hitt, dst, INF)
+                    m = jnp.min(dstw, axis=0, keepdims=True)     # (1, 128)
+                    gid = tsub_iota + k * TCHUNK                 # (T, 1)
+                    cand = dstw == m
+                    idw = jnp.min(jnp.where(cand, gid, T_pad), axis=0,
+                                  keepdims=True)
+                    winc = cand & (gid == idw)
+                    uw = jnp.sum(jnp.where(winc, u, 0.0), axis=0,
+                                 keepdims=True)
+                    vw = jnp.sum(jnp.where(winc, v, 0.0), axis=0,
+                                 keepdims=True)
+                    dw = jnp.sum(jnp.where(winc, det, 0.0), axis=0,
+                                 keepdims=True)
+                    better = m < cd
+                    return (jnp.where(better, m, cd),
+                            jnp.where(better, idw, ci),
+                            jnp.where(better, uw, cu),
+                            jnp.where(better, vw, cv),
+                            jnp.where(better, dw, cdet))
+
+                cd, ci, cu, cv, cdet = jax.lax.fori_loop(
+                    0, n_tchunks, chunk,
+                    (jnp.full((1, LANES), INF),
+                     jnp.full((1, LANES), T_pad, jnp.int32),
+                     jnp.zeros((1, LANES), jnp.float32),
+                     jnp.zeros((1, LANES), jnp.float32),
+                     jnp.zeros((1, LANES), jnp.float32)))
+                return (jnp.where(sel, cd, bd), jnp.where(sel, ci, bi),
+                        jnp.where(sel, cu, bu), jnp.where(sel, cv, bv),
+                        jnp.where(sel, cdet, bdet))
+
+            return jax.lax.fori_loop(
+                0, BLOCK_ROWS, do_row,
+                (jnp.full(SHAPE, INF), jnp.full(SHAPE, T_pad, jnp.int32),
+                 jnp.zeros(SHAPE, jnp.float32), jnp.zeros(SHAPE, jnp.float32),
+                 jnp.zeros(SHAPE, jnp.float32)))
+
         def fields_for(winner):
             """Winner field rows via one MXU one-hot dot per ray row:
-            (F_ROWS, S) @ onehot(S, 128) — fields land ray-major."""
-            sfull = jax.lax.broadcasted_iota(jnp.int32, (S_pad, 1), 0)
+            (F_ROWS, C) @ onehot(C, 128) — fields land ray-major. ids are
+            COMBINED: sphere s = s, triangle t = S_pad + t, miss = C."""
+            sfull = jax.lax.broadcasted_iota(jnp.int32, (C, 1), 0)
 
             def do_row(r, out):
                 sel = rows8 == r
@@ -299,10 +412,28 @@ def _make_kernel(S_pad: int, SCHUNK: int, bounces: int, rpp: int,
             segs = segs + alive
 
             # ---- intersection + winner fields ----------------------------
-            sd, winner, backface_f = sphere_pass(ox, oy, oz, dx, dy, dz)
+            # spheres first, then world-baked triangles; distance ties go
+            # to the sphere (matches the XLA prepass's strict < merge)
+            if has_spheres:
+                sd, swin, sins = sphere_pass(ox, oy, oz, dx, dy, dz)
+            else:
+                sd = jnp.full(SHAPE, INF)
+                swin = jnp.full(SHAPE, C, jnp.int32)
+                sins = jnp.zeros(SHAPE, jnp.float32)
+            if has_tris:
+                td, tid, tu, tv, tdet = tri_pass(ox, oy, oz, dx, dy, dz)
+            else:
+                td = jnp.full(SHAPE, INF)
+                tid = jnp.zeros(SHAPE, jnp.int32)
+                tu = tv = tdet = jnp.zeros(SHAPE, jnp.float32)
+            tri_win = td < sd
+            sd = jnp.minimum(sd, td)   # winner distance from here on
+            winner = jnp.where(tri_win, S_pad + tid, swin)
+            backface_f = jnp.where(
+                tri_win, jnp.where(tdet < 0.0, 1.0, 0.0), sins)
             backface = backface_f > 0.0
             hit = alive_b & (sd < INF)
-            F = fields_for(jnp.where(hit, winner, S_pad))
+            F = fields_for(jnp.where(hit, winner, C))
             m_color = F[0:4]
             m_emis = F[4:8]
             m_spec_c = F[8:12]
@@ -316,9 +447,26 @@ def _make_kernel(S_pad: int, SCHUNK: int, bounces: int, rpp: int,
             pcx, pcy, pcz = F[F_PX], F[F_PY], F[F_PZ]
 
             hx, hy, hz = ox + dx * sd, oy + dy * sd, oz + dz * sd
-            nx, ny, nz = _norm3(hx - pcx, hy - pcy, hz - pcz)
-            flip = jnp.where(backface, -1.0, 1.0)
-            nx, ny, nz = nx * flip, ny * flip, nz * flip
+            if has_spheres:
+                nx, ny, nz = _norm3(hx - pcx, hy - pcy, hz - pcz)
+                flip = jnp.where(backface, -1.0, 1.0)
+                nx, ny, nz = nx * flip, ny * flip, nz * flip
+            else:
+                nx = ny = nz = jnp.zeros(SHAPE, jnp.float32)
+            if has_tris:
+                # barycentric world-normal interpolation; sign(det) points
+                # the normal back toward the ray (trace.py semantics)
+                wbar = 1.0 - tu - tv
+                sgn = jnp.where(tdet < 0.0, -1.0, 1.0)
+                inx = F[F_N0] * wbar + F[F_N0 + 3] * tu + F[F_N0 + 6] * tv
+                iny = (F[F_N0 + 1] * wbar + F[F_N0 + 4] * tu
+                       + F[F_N0 + 7] * tv)
+                inz = (F[F_N0 + 2] * wbar + F[F_N0 + 5] * tu
+                       + F[F_N0 + 8] * tv)
+                tnx, tny, tnz = _norm3(inx * sgn, iny * sgn, inz * sgn)
+                nx = jnp.where(tri_win, tnx, nx)
+                ny = jnp.where(tri_win, tny, ny)
+                nz = jnp.where(tri_win, tnz, nz)
 
             # ---- miss: environment light ---------------------------------
             missed = alive_b & ~hit
@@ -438,20 +586,80 @@ def _make_kernel(S_pad: int, SCHUNK: int, bounces: int, rpp: int,
 
 
 def _pack_tables(scene: RenderScene):
-    # traced-friendly (runs under jit): jnp ops only
+    # traced-friendly (runs under jit): jnp ops only, static shapes from
+    # scene array shapes + the static inst_spans tuple
     S = scene.n_spheres
     SCHUNK = _schunk(S)
     S_pad = max(-(-S // SCHUNK) * SCHUNK, SCHUNK)
+    T = _tri_count(scene)
+    TCHUNK = min(MAX_SCHUNK, max(8, -(-max(T, 1) // 8) * 8))
+    T_pad = max(-(-T // TCHUNK) * TCHUNK, TCHUNK)
+    C = S_pad + T_pad
+
     sph = jnp.zeros((S_pad, 8), jnp.float32)
     sph = sph.at[:, 0].set(1e30)  # dummy spheres can never be hit
     sph = sph.at[:S, 0:3].set(scene.sphere_pos)
     sph = sph.at[:S, 3].set(scene.sphere_radius)
-    mrows = jnp.take(scene.mat_rows, scene.sphere_mat, axis=0)  # (S, 32)
-    mT = jnp.zeros((F_ROWS, S_pad), jnp.float32)
-    mT = mT.at[:32, :S].set(mrows.T)
-    mT = mT.at[F_PX:F_PZ + 1, :S].set(scene.sphere_pos.T)
-    mT = mT.at[F_RAD, :S].set(scene.sphere_radius)
-    return sph, mT, S_pad
+
+    mT = jnp.zeros((F_ROWS, C), jnp.float32)
+    if S:
+        mrows = jnp.take(scene.mat_rows, scene.sphere_mat, axis=0)  # (S, 32)
+        mT = mT.at[:32, :S].set(mrows.T)
+        mT = mT.at[F_PX:F_PZ + 1, :S].set(scene.sphere_pos.T)
+        mT = mT.at[F_RAD, :S].set(scene.sphere_radius)
+
+    # ---- triangles baked to WORLD space (no per-ray instance math) ------
+    # Rows T..T_pad stay zero: a zero geometric normal gives det == 0,
+    # which ray_triangle's keep-gate rejects — dummies can never be hit.
+    tri = jnp.zeros((T_pad, 16), jnp.float32)
+    if T:
+        v0l, v1l, v2l, n0l, n1l, n2l, matl = [], [], [], [], [], [], []
+        for i, (_n, toff, cnt) in enumerate(scene.inst_spans):
+            if cnt == 0:
+                continue
+            m2w = scene.inst_model_to_world[i]
+            R, t = m2w[:3, :3], m2w[:3, 3]
+            sl = slice(toff, toff + cnt)
+            v0w = scene.tri_v0[sl] @ R.T + t
+            v1w = scene.tri_v1[sl] @ R.T + t
+            v2w = scene.tri_v2[sl] @ R.T + t
+            # a reflecting transform (det < 0) flips winding: swap v1/v2
+            # (and the matching vertex normals) so backface/cull semantics
+            # track the model-space orientation
+            detR = (R[0, 0] * (R[1, 1] * R[2, 2] - R[1, 2] * R[2, 1])
+                    - R[0, 1] * (R[1, 0] * R[2, 2] - R[1, 2] * R[2, 0])
+                    + R[0, 2] * (R[1, 0] * R[2, 1] - R[1, 1] * R[2, 0]))
+            neg = detR < 0.0
+            n0w = scene.tri_n0[sl] @ R.T
+            n1w = scene.tri_n1[sl] @ R.T
+            n2w = scene.tri_n2[sl] @ R.T
+            v0l.append(v0w)
+            v1l.append(jnp.where(neg, v2w, v1w))
+            v2l.append(jnp.where(neg, v1w, v2w))
+            n0l.append(n0w)
+            n1l.append(jnp.where(neg, n2w, n1w))
+            n2l.append(jnp.where(neg, n1w, n2w))
+            matl.append(scene.tri_mat[sl] + scene.inst_mat_deltas[i])
+        v0 = jnp.concatenate(v0l)
+        e1 = jnp.concatenate(v1l) - v0
+        e2 = jnp.concatenate(v2l) - v0
+        gn = jnp.cross(e1, e2)
+        mats = jnp.concatenate(matl)
+        cull = (jnp.take(scene.materials.flag, mats) != 1)
+        tri = tri.at[:T, 0:3].set(v0)
+        tri = tri.at[:T, 3:6].set(e1)
+        tri = tri.at[:T, 6:9].set(e2)
+        tri = tri.at[:T, 9:12].set(gn)
+        tri = tri.at[:T, 12].set(cull.astype(jnp.float32))
+        trows = jnp.take(scene.mat_rows, mats, axis=0)          # (T, 32)
+        mT = mT.at[:32, S_pad:S_pad + T].set(trows.T)
+        mT = mT.at[F_N0:F_N0 + 3, S_pad:S_pad + T].set(
+            jnp.concatenate(n0l).T)
+        mT = mT.at[F_N0 + 3:F_N0 + 6, S_pad:S_pad + T].set(
+            jnp.concatenate(n1l).T)
+        mT = mT.at[F_N0 + 6:F_N0 + 9, S_pad:S_pad + T].set(
+            jnp.concatenate(n2l).T)
+    return sph, tri, mT, S_pad, T_pad, TCHUNK
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -468,7 +676,7 @@ def render_spheres_pallas(scene: RenderScene, frames, *, width: int,
     rpp = max(rays_per_pixel, 1)
     n_blocks = -(-total // BLOCK)
 
-    sph, mT, S_pad = _pack_tables(scene)
+    sph, tri, mT, S_pad, T_pad, TCHUNK = _pack_tables(scene)
 
     cam = scene.cam_to_world
     cam_c = jnp.concatenate([
@@ -479,7 +687,8 @@ def render_spheres_pallas(scene: RenderScene, frames, *, width: int,
         jnp.asarray([jnp.float32(height)]),
     ]).reshape(1, 18)
 
-    kernel = _make_kernel(S_pad, _schunk(scene.n_spheres), bounces, rpp,
+    kernel = _make_kernel(scene.n_spheres, S_pad, _schunk(scene.n_spheres),
+                          _tri_count(scene), T_pad, TCHUNK, bounces, rpp,
                           skybox, width, total, int(row_start))
     px_shape = jax.ShapeDtypeStruct((n_blocks, BLOCK_ROWS, LANES),
                                     jnp.float32)
@@ -493,13 +702,15 @@ def render_spheres_pallas(scene: RenderScene, frames, *, width: int,
             pl.BlockSpec((1, 18), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((S_pad, 8), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((F_ROWS, S_pad), lambda i: (0, 0),
+            pl.BlockSpec((T_pad, 16), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((F_ROWS, S_pad + T_pad), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(px_spec,) * 5,
         out_shape=(px_shape,) * 5,
         interpret=interpret,
-    )(jnp.asarray(frames, jnp.int32).reshape(1, 1), cam_c, sph, mT)
+    )(jnp.asarray(frames, jnp.int32).reshape(1, 1), cam_c, sph, tri, mT)
     img = jnp.stack([r.reshape(-1), g.reshape(-1), b.reshape(-1),
                      a.reshape(-1)], axis=1)[:total].reshape(rows, width, 4)
     return img, jnp.sum(segs.reshape(-1)[:total])

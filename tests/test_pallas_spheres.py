@@ -53,4 +53,30 @@ def test_glass_scene_matches():
 
 def test_eligibility_gates():
     room = instantiate_scene(scenes.room()).render_scene
-    assert not eligible(room)  # has mesh instances
+    assert eligible(room)      # small mesh (12 tris): handled in-kernel
+    tex = instantiate_scene(scenes.texture_test()).render_scene
+    assert not eligible(tex)   # texture sampling not implemented in-kernel
+
+
+@pytest.mark.parametrize("build,name", [(scenes.cornell_box, "cornell"),
+                                        (scenes.room, "room")])
+def test_triangle_scenes_match_xla(build, name):
+    """Small-mesh scenes run whole-path with WORLD-baked triangles. The
+    XLA path intersects in model space and re-measures world distance, so
+    agreement is FP-noise-level (same RNG stream, same draws) rather than
+    bit-exact: gate on pixel-match fraction, not segment counts."""
+    rs = instantiate_scene(build()).render_scene
+    assert eligible(rs)
+    W, H = 64, 36
+    img_p, segs_p = render_spheres_pallas(
+        rs, jnp.int32(2), width=W, height=H, bounces=3, rays_per_pixel=1,
+        skybox=True, interpret=True)
+    img_x, segs_x = render_sample(
+        rs, jnp.int32(2), jnp.float32(1.0), width=W, height=H, bounces=3,
+        rays_per_pixel=1, skybox=True, debug_mode=0, tile_rows=8)
+    # a boundary FP flip re-routes a whole path; allow a small tail
+    rel = abs(float(segs_p) - float(segs_x)) / float(segs_x)
+    assert rel < 0.02, f"{name}: segment counts diverge {rel:.3%}"
+    err = np.abs(np.asarray(img_p) - np.asarray(img_x)).max(axis=-1)
+    frac = (err < 1e-3).mean()
+    assert frac >= 0.95, f"{name}: {frac:.2%} pixels match (max {err.max()})"
