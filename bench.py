@@ -73,6 +73,8 @@ def main():
                     help="traversal steps fused per loop iteration")
     ap.add_argument("--shade-every", type=int, default=None,
                     help="boundary/shading phase cadence in iterations")
+    ap.add_argument("--claim", default=None, choices=["queue", "striped"],
+                    help="pixel-assignment scheme (kernels/megakernel.py)")
     ap.add_argument("--mesh", type=int, default=0,
                     help="render row-sharded over an N-device mesh "
                          "(N > available devices is clamped; 0 = unsharded)")
@@ -91,7 +93,7 @@ def main():
     else:
         n_chips = 1
         renderer = Renderer(lanes=args.lanes, unroll=args.unroll,
-                            shade_every=args.shade_every)
+                            shade_every=args.shade_every, claim=args.claim)
         for f in range(args.warmup):
             fb = renderer.render(host.render_scene,
                                  dataclasses.replace(p, frames=f))

@@ -737,11 +737,23 @@ def render_persistent(scene: RenderScene, frames, *, width: int, height: int,
                       row_start=0, rows: int | None = None,
                       lanes: int = 16384, unroll: int = 6,
                       shade_every: int = SHADE_EVERY,
-                      normal_maps: bool = False):
+                      normal_maps: bool = False, claim: str = "queue"):
     """Persistent-lanes whole-image render. Returns ((rows, width, 4) image,
     total traced segments). Pixel p maps to (x = p %% width,
     y = row_start + p // width); RNG streams and sample continuation are
-    identical to the tiled path (frag(), ray_tracer.wgsl:473-500)."""
+    identical to the tiled path (frag(), ray_tracer.wgsl:473-500).
+
+    ``claim`` picks the pixel-assignment scheme — per-pixel values are
+    IDENTICAL either way (seeds derive from the pixel id, not the lane):
+
+    * "queue": shared cursor; finished lanes claim the next pixels in
+      scan order (cumsum rank), completed pixels append to a compacted
+      log (argsort) reassembled at the end.
+    * "striped": lane L statically owns pixels L, L+B, L+2B ... —
+      no cursor, no rank cumsum, no argsort compaction; completed pixels
+      write into a (B, K) bank with a masked select and one final
+      transpose. Cheaper boundary, but load balance relies on averaging
+      path-length variance over the ~total/B pixels per lane."""
     rows = height if rows is None else rows
     total = rows * width
     rpp = max(rays_per_pixel, 1)
@@ -792,8 +804,18 @@ def render_persistent(scene: RenderScene, frames, *, width: int, height: int,
     # appended densely with dynamic_update_slice; every pixel completes
     # exactly once, so log[:total] is a permutation of the frame and one
     # argsort+take at the end reassembles it (~17 ms vs ~200 ms).
-    logv0 = jnp.zeros((total + B, 4), jnp.float32)
-    logp0 = jnp.zeros((total + B,), jnp.int32)
+    striped = claim == "striped"
+    K = -(-total // B)
+    if striped:
+        # per-lane pixel bank: lane L's k-th pixel (id k*B + L) lands in
+        # bank[L, k]; final assembly is one transpose — no log machinery
+        logv0 = jnp.zeros((B, K, 4), jnp.float32)
+        logp0 = jnp.zeros((1,), jnp.int32)
+    else:
+        logv0 = jnp.zeros((total + B, 4), jnp.float32)
+        logp0 = jnp.zeros((total + B,), jnp.int32)
+    lane_ids = jnp.arange(B, dtype=jnp.int32)
+    k_cols = jnp.arange(K, dtype=jnp.int32)[None, :, None]
 
     def boundary(F, M, W, I, S, A, logv, logp, cursor, wcursor):
         at_b = (I[:, I_PTR] >= n_bvh) & (I[:, I_BOUNCE] != DONE)
@@ -811,27 +833,39 @@ def render_persistent(scene: RenderScene, frames, *, width: int, height: int,
         more_samples = sample_end & ~idle & (sample_i + 1 < rpp)
         pixel_done = sample_end & ~more_samples  # includes idle lanes
 
-        # pixel complete → append to the completion log (owned pixels only).
-        # Compaction = stable argsort of the done mask + gathers; the
-        # rank-scatter alternative (small-buffer scatter) microbenched
-        # faster in isolation but measured 8% SLOWER in the full frame.
         valid_px = pixel_done & (I[:, I_PIXEL] >= 0)
-        perm = jnp.argsort(jnp.logical_not(valid_px), stable=True)
-        vals_c = jnp.take(A / jnp.float32(rpp), perm, axis=0)
-        pix_c = jnp.take(I[:, I_PIXEL], perm)
-        logv = jax.lax.dynamic_update_slice(logv, vals_c, (wcursor, 0))
-        logp = jax.lax.dynamic_update_slice(logp, pix_c, (wcursor,))
-        wcursor = jnp.minimum(wcursor + jnp.sum(valid_px.astype(jnp.int32)),
-                              total)
+        if striped:
+            # pixel complete → masked select into the lane's bank column
+            k_cur = jnp.maximum(I[:, I_PIXEL], 0) // B
+            write = valid_px[:, None, None] & (k_cols == k_cur[:, None, None])
+            logv = jnp.where(write, (A / jnp.float32(rpp))[:, None, :], logv)
+            # claim: the lane's next owned pixel — no cursor, no rank
+            claiming = pixel_done
+            new_pixel = jnp.where(I[:, I_PIXEL] < 0, lane_ids,
+                                  I[:, I_PIXEL] + B)
+            got_job = claiming & (new_pixel < total)
+        else:
+            # pixel complete → append to the completion log (owned pixels
+            # only). Compaction = stable argsort of the done mask +
+            # gathers; the rank-scatter alternative (small-buffer scatter)
+            # microbenched faster in isolation but measured 8% SLOWER in
+            # the full frame.
+            perm = jnp.argsort(jnp.logical_not(valid_px), stable=True)
+            vals_c = jnp.take(A / jnp.float32(rpp), perm, axis=0)
+            pix_c = jnp.take(I[:, I_PIXEL], perm)
+            logv = jax.lax.dynamic_update_slice(logv, vals_c, (wcursor, 0))
+            logp = jax.lax.dynamic_update_slice(logp, pix_c, (wcursor,))
+            wcursor = jnp.minimum(
+                wcursor + jnp.sum(valid_px.astype(jnp.int32)), total)
 
-        # claim new pixels from the cursor
-        claiming = pixel_done
-        rank = _cumsum_i32(claiming.astype(jnp.int32)) \
-            - claiming.astype(jnp.int32)
-        new_pixel = cursor + rank
-        got_job = claiming & (new_pixel < total)
-        cursor = cursor + jnp.sum(claiming.astype(jnp.int32))
-        cursor = jnp.minimum(cursor, total)
+            # claim new pixels from the cursor
+            claiming = pixel_done
+            rank = _cumsum_i32(claiming.astype(jnp.int32)) \
+                - claiming.astype(jnp.int32)
+            new_pixel = cursor + rank
+            got_job = claiming & (new_pixel < total)
+            cursor = cursor + jnp.sum(claiming.astype(jnp.int32))
+            cursor = jnp.minimum(cursor, total)
 
         pixel = jnp.where(got_job, new_pixel, I[:, I_PIXEL])
         fresh_seed = rng.seed_for_pixel(
@@ -897,7 +931,11 @@ def render_persistent(scene: RenderScene, frames, *, width: int, height: int,
     _, F, M, W, I, _S, A, logv, logp, cursor, wcursor = \
         jax.lax.while_loop(cond, body, state)
     segments = jnp.sum(I[:, I_SEGS].astype(jnp.float32))
-    # reassemble: log pixel ids are a permutation of [0, total)
-    order = jnp.argsort(logp[:total])
-    out = jnp.take(logv[:total], order, axis=0)
+    if striped:
+        # bank[L, k] holds pixel k*B + L: one transpose reassembles
+        out = logv.transpose(1, 0, 2).reshape(K * B, 4)[:total]
+    else:
+        # reassemble: log pixel ids are a permutation of [0, total)
+        order = jnp.argsort(logp[:total])
+        out = jnp.take(logv[:total], order, axis=0)
     return out.reshape(rows, width, 4), segments
