@@ -43,8 +43,8 @@ import jax.numpy as jnp
 from ray_tracer_2_tpu import rng
 from ray_tracer_2_tpu.kernels.brute import BRUTE_MAX_TRIS, brute_force_intersect
 from ray_tracer_2_tpu.kernels.gatherlib import fetch_attr, fetch_rows
-from ray_tracer_2_tpu.kernels.intersect import INF, ray_sphere, ray_triangle, \
-    ray_aabb_dist, sphere_normal_uv
+from ray_tracer_2_tpu.kernels.intersect import INF, ray_sphere, \
+    ray_triangle, sphere_normal_uv
 from ray_tracer_2_tpu.kernels.texture import sample_bilinear
 from ray_tracer_2_tpu.math.vec import dot, lerp, normalize, reflect, refract
 from ray_tracer_2_tpu.scene.render_scene import LEAF_CHUNK, RenderScene
