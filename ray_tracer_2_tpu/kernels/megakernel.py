@@ -302,9 +302,13 @@ def _make_parts(scene: RenderScene, B: int, bounces: int, skybox: bool,
         ptr = I[:, I_PTR]
         live = (I[:, I_BOUNCE] != DONE) & (I[:, I_BOUNCE] != IDLE)
         pending = (cur == -1) & (ptr < n_bvh) & live
-        # world-merge + re-transform only run when some lane finished its
-        # instance; with short wide-BVH segments this fires most iterations
-        # on 1-instance scenes but gates the cost on multi-instance ones
+        # On 1-instance scenes the advance fires most iterations AND the
+        # lax.cond is a scheduling barrier (same effect as the boundary
+        # gate): inlining measured 9.85 -> 10.02 Mrays/s on the dragon.
+        # Multi-instance scenes keep the gate — it skips real work there.
+        if n_bvh == 1:
+            del pending
+            return _advance_impl(F, M, W, I, S)
         return jax.lax.cond(jnp.any(pending), _advance_impl,
                             lambda *s: s, F, M, W, I, S)
 
