@@ -62,3 +62,23 @@ class TextureAtlas:
     @staticmethod
     def empty() -> "TextureAtlas":
         return TextureAtlas.from_images([])
+
+
+def pack_texels_u8(texels: np.ndarray) -> np.ndarray:
+    """(X, 4) f32 texels -> (ceil(X/128), 128) f32 rows of u8 RGBA words.
+
+    Texel t lives in row t >> 7, column t & 127, packed R | G<<8 | B<<16 |
+    A<<24 (values quantized to u8 — lossless for PNG-decoded textures,
+    which arrive as u8/255, and reference-faithful for procedural ones:
+    the reference uploads Rgba8 textures, asset.rs:77). 512-byte rows
+    gather ~1.8x faster than the 16-byte (X, 4) layout, which both sat
+    far above the ~8 MB gather cliff (168 MB for sponza) and straddled
+    gather granules (scripts/probe_texels.py: 1129 -> 624 us per 4-tap
+    bilinear at B=16k)."""
+    x = texels.shape[0]
+    u8 = (np.clip(texels, 0.0, 1.0) * 255.0).round().astype(np.uint32)
+    words = (u8[:, 0] | (u8[:, 1] << 8) | (u8[:, 2] << 16)
+             | (u8[:, 3] << 24)).astype(np.uint32)
+    xp = -(-max(x, 1) // 128) * 128
+    words = np.concatenate([words, np.zeros(xp - x, np.uint32)])
+    return words.view(np.float32).reshape(-1, 128)

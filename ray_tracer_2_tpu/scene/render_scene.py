@@ -26,7 +26,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ray_tracer_2_tpu.accel.bvh import BVH, BVHQuality, build_bvh
-from ray_tracer_2_tpu.assets.textures import TextureAtlas
+from ray_tracer_2_tpu.assets.textures import TextureAtlas, \
+    pack_texels_u8
 from ray_tracer_2_tpu.scene.camera import Camera
 from ray_tracer_2_tpu.scene.definition import (
     MeshData, MeshFromData, MeshFromFile, SceneDefinition, SphereDef,
@@ -111,7 +112,8 @@ class RenderScene:
     materials: MaterialTable
 
     # Texture atlas (flat texel buffer + slot tables)
-    tex_texels: jax.Array        # (X, 4) f32
+    tex_texels: jax.Array        # (ceil(X/128), 128) f32 u8-RGBA packed rows
+                                 # (assets/textures.py pack_texels_u8)
     tex_offset: jax.Array        # (64,) i32
     tex_h: jax.Array             # (64,) i32
     tex_w: jax.Array             # (64,) i32
@@ -571,7 +573,7 @@ def instantiate_scene(definition: SceneDefinition,
         mat_rows=jnp.asarray(mat_rows),
         tex_meta=jnp.asarray(tex_meta),
         materials=table,
-        tex_texels=jnp.asarray(atlas.texels),
+        tex_texels=jnp.asarray(pack_texels_u8(atlas.texels)),
         tex_offset=jnp.asarray(atlas.offsets),
         tex_h=jnp.asarray(atlas.heights),
         tex_w=jnp.asarray(atlas.widths),
