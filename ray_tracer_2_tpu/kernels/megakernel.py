@@ -306,7 +306,7 @@ def _make_parts(scene: RenderScene, B: int, bounces: int, skybox: bool,
         # lax.cond is a scheduling barrier (same effect as the boundary
         # gate): inlining measured 9.85 -> 10.02 Mrays/s on the dragon.
         # Multi-instance scenes keep the gate — it skips real work there.
-        if n_bvh == 1:
+        if n_bvh <= 2:
             del pending
             return _advance_impl(F, M, W, I, S)
         return jax.lax.cond(jnp.any(pending), _advance_impl,
@@ -413,6 +413,7 @@ def _make_parts(scene: RenderScene, B: int, bounces: int, skybox: bool,
         # seed as the non-glass chain and non-glass lanes never read it.
         has_glass = "glass" in scene.shade_classes
         has_texture = "texture" in scene.shade_classes
+        tex_dominant = "texture_dominant" in scene.shade_classes
 
         m = _gather_material(scene, hit["mat_id"])
         is_glass = (m["flag"] == GLASS) if has_glass \
@@ -480,13 +481,21 @@ def _make_parts(scene: RenderScene, B: int, bounces: int, skybox: bool,
         incoming_n = incoming + emitted * trans
         if has_texture:
             textured = (m["flag"] == TEXTURE) & (m["diffuse_index"] != -1)
-            # texture fetches are the boundary's only gathers besides
-            # materials; skip them when no lane shades a textured surface
-            tex_color = jax.lax.cond(
-                jnp.any(textured & shading),
-                lambda: sample_bilinear(scene.tex_texels, scene.tex_meta,
-                                        m["diffuse_index"], hit["uv"]),
-                lambda: m["color"])
+            if tex_dominant:
+                # most materials are textured (e.g. sponza): the any()
+                # gate would fire every boundary anyway, and the lax.cond
+                # is a scheduling barrier keeping the 4 bilinear taps off
+                # the overlapped gather schedule (4.86 -> 5.04 measured)
+                tex_color = sample_bilinear(scene.tex_texels, scene.tex_meta,
+                                            m["diffuse_index"], hit["uv"])
+            else:
+                # textures are rare: skip the 4-tap gather entirely when
+                # no lane shades a textured surface this boundary
+                tex_color = jax.lax.cond(
+                    jnp.any(textured & shading),
+                    lambda: sample_bilinear(scene.tex_texels, scene.tex_meta,
+                                            m["diffuse_index"], hit["uv"]),
+                    lambda: m["color"])
             color = jnp.where(textured[:, None], tex_color, m["color"])
         else:
             color = m["color"]

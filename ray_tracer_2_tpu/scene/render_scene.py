@@ -47,8 +47,13 @@ def _shade_classes(records) -> tuple:
     classes = []
     if any(int(r.flag) == 1 for r in records):                   # GLASS
         classes.append("glass")
-    if any(int(r.flag) == 2 and r.diffuse_index != -1 for r in records):
+    textured = [int(r.flag) == 2 and r.diffuse_index != -1 for r in records]
+    if any(textured):
         classes.append("texture")
+        if sum(textured) * 2 >= len(records):
+            # most materials textured: the megakernel inlines the bilinear
+            # taps instead of gating them behind lax.cond (cond = barrier)
+            classes.append("texture_dominant")
     if any(r.normal_index != -1 for r in records):
         classes.append("normal_map")
     return tuple(classes)
