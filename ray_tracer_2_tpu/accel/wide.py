@@ -60,9 +60,7 @@ import numpy as np
 
 from ray_tracer_2_tpu.accel.bvh import BVH
 
-from ray_tracer_2_tpu.accel.packed import (  # shared leaf-row layout
-    COL_COUNT, COL_CULLS, COL_FIRST, COL_MATS, COL_TRIS, ROW_TRIS,
-)
+from ray_tracer_2_tpu.accel.packed import COL_COUNT, COL_FIRST, ROW_TRIS
 
 ROW_WIDTH = 128
 COL_BASE = 12
@@ -70,6 +68,25 @@ COL_K = 13
 COL_CHILD_AABB = 16   # wide rows only: 96 f32 cols of packed f16 pairs
 N_AABB_COLS = 96
 MAX_ARITY = 32
+
+# Wide-path LEAF rows use a COMPONENT-BLOCKED geometry layout (this
+# diverges from accel/packed.py's AoS leaf rows, which the binary
+# debug/tiled path keeps): the megakernel's 8-triangle Möller–Trumbore
+# runs as ~45 wide (B, 8) vector ops instead of 8 sequential passes of
+# narrow (B, 3) slices — the leaf test was the only step cost NOT hidden
+# under the row-gather latency (scripts/ablate_step.py: gather 82 us,
+# +slabs 82, +leaf 103). Edges and the geometric normal are precomputed
+# at pack time with the same f32 arithmetic the kernel used, so results
+# are unchanged.
+#
+#   cols 0..8    matcull[j] = tri_mat * 2 + cull   (decode: >>1, &1)
+#   col  15/16   COL_COUNT / COL_FIRST (shared with packed.py)
+#   cols 17..113 12 components x 8 tris, blocked:
+#                v0x*8 v0y*8 v0z*8 e1x*8 e1y*8 e1z*8
+#                e2x*8 e2y*8 e2z*8 nx*8  ny*8  nz*8
+COL_MATCULL = 0
+COL_LEAF_GEO = 17
+N_LEAF_GEO_COLS = 96
 
 
 _F16_MIN_NORMAL = np.float16(2.0 ** -14)
@@ -190,7 +207,8 @@ def pack_wide_rows(bvh: BVH, v0, v1, v2, tri_mat, tri_cull,
     wb = collapse(bvh)
     count = bvh.node_count
 
-    # ---- leaf row payloads (octant-invariant), one per binary leaf ------
+    # ---- leaf row payloads, one per binary leaf: blocked geometry with
+    # precomputed f32 edges + geometric normal (see layout above) --------
     def leaf_row(nd: int) -> np.ndarray:
         r = np.zeros(ROW_WIDTH, np.float32)
         first, k = int(bvh.node_first[nd]), int(count[nd])
@@ -200,13 +218,21 @@ def pack_wide_rows(bvh: BVH, v0, v1, v2, tri_mat, tri_cull,
         for j in range(ROW_TRIS):
             tri = min(first + j, max(n_tris - 1, 0))
             valid = j < k
-            r[COL_MATS + j] = tri_mat[tri] if valid else 0.0
-            r[COL_CULLS + j] = tri_cull[tri] if valid else 1.0
-            o = COL_TRIS + j * 9
+            r[COL_MATCULL + j] = ((tri_mat[tri] * 2 + tri_cull[tri])
+                                  if valid else 1.0)
             if valid:
-                r[o:o + 3] = v0[tri]
-                r[o + 3:o + 6] = v1[tri]
-                r[o + 6:o + 9] = v2[tri]
+                a = np.asarray(v0[tri], np.float32)
+                e1 = (np.asarray(v1[tri], np.float32) - a).astype(np.float32)
+                e2 = (np.asarray(v2[tri], np.float32) - a).astype(np.float32)
+                # same component expressions as jnp.cross in f32
+                n = np.array([e1[1] * e2[2] - e1[2] * e2[1],
+                              e1[2] * e2[0] - e1[0] * e2[2],
+                              e1[0] * e2[1] - e1[1] * e2[0]], np.float32)
+                comps = np.concatenate([a, e1, e2, n])
+                for ci in range(12):
+                    r[COL_LEAF_GEO + 8 * ci + j] = comps[ci]
+            # invalid slots: zero geometry -> n = 0 -> det = 0 -> the
+            # keep-gate rejects them (matcull odd => cull => det >= 1e-8)
         return r
 
     if wb.root_is_leaf:
@@ -272,14 +298,13 @@ def traverse_wide_numpy(rows_oct: np.ndarray, o, d, t_limit=np.inf,
         fetches += 1
         k = int(r[COL_COUNT])
         descend = -1
-        if k > 0:  # leaf
+        if k > 0:  # leaf (blocked geometry: v0, e1, e2, n precomputed)
             for j in range(k):
-                s = COL_TRIS + j * 9
-                v0, v1, v2 = r[s:s+3], r[s+3:s+6], r[s+6:s+9]
-                e1, e2 = v1 - v0, v2 - v0
-                nrm = np.cross(e1, e2)
+                g = r[COL_LEAF_GEO + j:COL_LEAF_GEO + 96:8]   # 12 comps
+                v0, e1, e2, nrm = g[0:3], g[3:6], g[6:9], g[9:12]
                 det = -np.dot(d, nrm)
-                cull = r[COL_CULLS + j] > 0.5
+                mc = int(r[COL_MATCULL + j])
+                cull = (mc & 1) == 1
                 if (det < 1e-8) if cull else (abs(det) < 1e-8):
                     continue
                 ao = o - v0

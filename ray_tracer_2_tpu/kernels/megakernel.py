@@ -248,25 +248,55 @@ def _make_parts(scene: RenderScene, B: int, bounces: int, skybox: bool,
         child = base + c_min
         rem = mask & ~jnp.left_shift(jnp.int32(1), c_min)
 
-        # ---- leaf row: identical inline 8-tri slab as the binary path ----
+        # ---- leaf row: blocked 8-triangle Möller–Trumbore. Geometry is
+        # component-blocked with f32-precomputed edges/normals
+        # (accel/wide.py), so the whole test is ~45 wide (B, 8) ops —
+        # the sequential per-triangle loop of (B, 3) slices was the only
+        # step cost not hidden under the row-gather latency
+        # (scripts/ablate_step.py) ----
         best_u, best_v, best_det = M[:, 7], M[:, 8], M[:, 9]
         best_tri, best_mat = I[:, I_TRI], I[:, I_MAT]
         first = row[:, wd.COL_FIRST].astype(jnp.int32)
-        for j in range(LEAF_CHUNK):
-            o = wd.COL_TRIS + j * 9
-            cull = row[:, wd.COL_CULLS + j] > 0.5
-            hit, dst, u, v, det = ray_triangle(
-                om, dm, row[:, o:o + 3], row[:, o + 3:o + 6],
-                row[:, o + 6:o + 9], cull)
-            better = is_leaf & hit & (dst < best_dst)
-            best_tri = jnp.where(better, first + j, best_tri)
-            best_u = jnp.where(better, u, best_u)
-            best_v = jnp.where(better, v, best_v)
-            best_det = jnp.where(better, det, best_det)
-            best_mat = jnp.where(better,
-                                 row[:, wd.COL_MATS + j].astype(jnp.int32),
-                                 best_mat)
-            best_dst = jnp.where(better, dst, best_dst)
+        G = wd.COL_LEAF_GEO
+        v0x, v0y, v0z = row[:, G:G+8], row[:, G+8:G+16], row[:, G+16:G+24]
+        e1x, e1y, e1z = row[:, G+24:G+32], row[:, G+32:G+40], row[:, G+40:G+48]
+        e2x, e2y, e2z = row[:, G+48:G+56], row[:, G+56:G+64], row[:, G+64:G+72]
+        nx_, ny_, nz_ = row[:, G+72:G+80], row[:, G+80:G+88], row[:, G+88:G+96]
+        omx, omy, omz = om[:, 0:1], om[:, 1:2], om[:, 2:3]
+        dmx, dmy, dmz = dm[:, 0:1], dm[:, 1:2], dm[:, 2:3]
+        det8 = -(dmx * nx_ + dmy * ny_ + dmz * nz_)
+        mc = row[:, wd.COL_MATCULL:wd.COL_MATCULL + 8].astype(jnp.int32)
+        cull8 = (mc & 1) == 1
+        keep8 = (cull8 & (det8 >= 1e-8)) | (~cull8 & (jnp.abs(det8) >= 1e-8))
+        inv8 = 1.0 / jnp.where(keep8, det8, 1.0)
+        aox, aoy, aoz = omx - v0x, omy - v0y, omz - v0z
+        daox = aoy * dmz - aoz * dmy
+        daoy = aoz * dmx - aox * dmz
+        daoz = aox * dmy - aoy * dmx
+        dst8 = (aox * nx_ + aoy * ny_ + aoz * nz_) * inv8
+        u8 = (e2x * daox + e2y * daoy + e2z * daoz) * inv8
+        v8 = -(e1x * daox + e1y * daoy + e1z * daoz) * inv8
+        w8 = 1.0 - u8 - v8
+        hit8 = keep8 & (dst8 > 1e-5) & (u8 >= 0.0) & (v8 >= 0.0) \
+            & (w8 >= 0.0) & is_leaf[:, None] & (dst8 < best_dst[:, None])
+        dstw8 = jnp.where(hit8, dst8, INF)
+        jstar = jnp.argmin(dstw8, axis=1).astype(jnp.int32)
+        jlane = jnp.arange(LEAF_CHUNK, dtype=jnp.int32)[None, :]
+        winner8 = hit8 & (jlane == jstar[:, None])
+        m8 = jnp.sum(jnp.where(winner8, dstw8, 0.0), axis=1)
+        any8 = jnp.any(hit8, axis=1)
+        better = any8  # hit8 already requires dst < best_dst & is_leaf
+        best_tri = jnp.where(better, first + jstar, best_tri)
+        best_u = jnp.where(better, jnp.sum(jnp.where(winner8, u8, 0.0),
+                                           axis=1), best_u)
+        best_v = jnp.where(better, jnp.sum(jnp.where(winner8, v8, 0.0),
+                                           axis=1), best_v)
+        best_det = jnp.where(better, jnp.sum(jnp.where(winner8, det8, 0.0),
+                                             axis=1), best_det)
+        best_mat = jnp.where(better,
+                             jnp.sum(jnp.where(winner8, mc >> 1, 0), axis=1),
+                             best_mat)
+        best_dst = jnp.where(better, m8, best_dst)
 
         # ---- stack: push the remaining-hits entry, or pop to resume.
         # Entries carry the min entry distance of their remaining children
