@@ -388,11 +388,14 @@ def _make_parts(scene: RenderScene, B: int, bounces: int, skybox: bool,
         I = I.at[:, I_FLAG].set(jnp.where(better, raw, I[:, I_FLAG]))
 
         new_ptr = jnp.where(at_end, ptr + 1, ptr)
-        # NOTE: for n_bvh == 1 the entering block below is logically dead
-        # (new_ptr always reaches n_bvh) — but compiling it OUT measured
-        # 10% SLOWER on the dragon (8.25 -> 7.43 Mrays/s): the dead ops
-        # overlap gather latency and removing them perturbs XLA's loop
-        # schedule. Keep it.
+        if n_bvh == 1:
+            # the entering block is logically dead (new_ptr always reaches
+            # n_bvh). Keeping it once measured FASTER (dead ops overlapped
+            # gather latency, 8.25 vs 7.43); re-tested after the blocked
+            # leaf + ungated boundary freed the VPU: compiling it out now
+            # wins — the schedule is VPU-contended, not latency-starved
+            I = I.at[:, I_PTR].set(new_ptr)
+            return F, M, W, I, S
         entering = at_end & (new_ptr < n_bvh)
         w2m = w2m_for(new_ptr)
         d = F[:, 3:6]
