@@ -61,6 +61,63 @@ IDLE = -2         # bounce sentinel for lanes awaiting a pixel claim
 GLASS = 1
 TEXTURE = 2
 
+class ColState:
+    """Int lane-state carried as SEPARATE (B,) columns.
+
+    Presents the same ``I[:, col]`` / ``I.at[:, col].set(v)`` interface as
+    the packed (B, 16) array it replaces, but each column is its own
+    while-loop carry: the packed form lowered every column write to a
+    chained (16384, 1) dynamic-update-slice on the full array (profiled at
+    ~34 ms per dragon frame, jit(render_frame)/while/body/scatter), while
+    separate carries update for free."""
+
+    __slots__ = ("vals",)
+
+    def __init__(self, vals):
+        self.vals = tuple(vals)
+
+    def __getitem__(self, key):
+        _, c = key
+        return self.vals[c]
+
+    @property
+    def at(self):
+        return _ColAt(self)
+
+
+class _ColAt:
+    __slots__ = ("cs",)
+
+    def __init__(self, cs):
+        self.cs = cs
+
+    def __getitem__(self, key):
+        _, c = key
+        return _ColAtCol(self.cs, c)
+
+
+class _ColAtCol:
+    __slots__ = ("cs", "c")
+
+    def __init__(self, cs, c):
+        self.cs, self.c = cs, c
+
+    def set(self, v):
+        vals = list(self.cs.vals)
+        vals[self.c] = v
+        return ColState(vals)
+
+    def add(self, v):
+        vals = list(self.cs.vals)
+        vals[self.c] = vals[self.c] + v
+        return ColState(vals)
+
+
+jax.tree_util.register_pytree_node(
+    ColState, lambda cs: (cs.vals, None),
+    lambda _, vals: ColState(vals))
+
+
 # I-state column map (I_SP = wide-traversal resume-stack pointer)
 I_SEED, I_BOUNCE, I_SEGS, I_CUR, I_PTR, I_TRI, I_MAT, I_STRI, I_SMAT, \
     I_FLAG, I_SN, I_ST, I_PIXEL, I_SAMPLE, I_SP, _IP2 = range(16)
@@ -303,7 +360,7 @@ def _make_parts(scene: RenderScene, B: int, bounces: int, skybox: bool,
         # (stale after partial consumption — conservative): pops jump to
         # the DEEPEST entry still closer than best_dst, bulk-dropping dead
         # entries above it for free ----
-        SB, SM, SD = S[:, :D], S[:, D:2 * D], S[:, 2 * D:]
+        SB, SM, SD = S
         sp = I[:, I_SP]
         push = is_wide & has & (rem != 0)
         at_sp = (stack_cols == sp[:, None]) & push[:, None]
@@ -336,7 +393,7 @@ def _make_parts(scene: RenderScene, B: int, bounces: int, skybox: bool,
 
         M = jnp.concatenate([om, dm, best_dst[:, None], best_u[:, None],
                              best_v[:, None], best_det[:, None]], axis=1)
-        S = jnp.concatenate([SB, SM, SD], axis=1)
+        S = (SB, SM, SD)
         I = I.at[:, I_CUR].set(jnp.where(active, new_cur, cur))
         I = I.at[:, I_SP].set(sp)
         I = I.at[:, I_TRI].set(best_tri)
@@ -406,10 +463,10 @@ def _make_parts(scene: RenderScene, B: int, bounces: int, skybox: bool,
         # inline root evaluation: entering lanes land directly on the root's
         # nearest hit child (or -1 on a whole-instance miss) with the
         # remaining hits pre-pushed — no root row gather
-        SB, SM, SD = S[:, :D], S[:, D:2 * D], S[:, 2 * D:]
+        SB, SM, SD = S
         cur_e, SB, SM, SD, sp_e, k_e = wide_enter(
             root_row_for(new_ptr), om_n, dm_n, entering, SB, SM, SD)
-        S = jnp.concatenate([SB, SM, SD], axis=1)
+        S = (SB, SM, SD)
         I = I.at[:, I_CUR].set(jnp.where(entering, cur_e, I[:, I_CUR]))
         I = I.at[:, I_TRI].set(jnp.where(entering, -1, I[:, I_TRI]))
         I = I.at[:, I_PTR].set(new_ptr)
@@ -684,11 +741,11 @@ def _make_parts(scene: RenderScene, B: int, bounces: int, skybox: bool,
         I = I.at[:, I_BOUNCE].set(jnp.where(starts, new_bounce, I[:, I_BOUNCE]))
         I = I.at[:, I_SEGS].add(starts.astype(jnp.int32))
         if n_bvh:
-            SB, SM, SD = S[:, :D], S[:, D:2 * D], S[:, 2 * D:]
+            SB, SM, SD = S
             cur0, SB, SM, SD, sp0, k0 = wide_enter(
                 jnp.broadcast_to(root_rows[0], (B, 128)),
                 M_new[:, 0:3], M_new[:, 3:6], starts, SB, SM, SD)
-            S = jnp.concatenate([SB, SM, SD], axis=1)
+            S = (SB, SM, SD)
             I = I.at[:, I_CUR].set(jnp.where(starts, cur0, I[:, I_CUR]))
             I = I.at[:, I_SP].set(jnp.where(starts, sp0, I[:, I_SP]))
             I = I.at[:, I_SN].add(jnp.where(starts, k0, 0))
@@ -726,7 +783,7 @@ def _cumsum_i32(x):
 
 
 def _i0(B, seed, n_bvh, bounce0):
-    return jnp.stack([
+    return ColState([
         jax.lax.bitcast_convert_type(seed, jnp.int32),
         jnp.full((B,), bounce0, jnp.int32),
         jnp.zeros((B,), jnp.int32),
@@ -743,7 +800,7 @@ def _i0(B, seed, n_bvh, bounce0):
         jnp.zeros((B,), jnp.int32),      # sample index
         jnp.zeros((B,), jnp.int32),
         jnp.zeros((B,), jnp.int32),
-    ], axis=1)
+    ])
 
 
 def trace_batch_flat(scene: RenderScene, origin, direction, seed, *,
@@ -762,7 +819,7 @@ def trace_batch_flat(scene: RenderScene, origin, direction, seed, *,
                           jnp.zeros((B, 3))], axis=1)
     W0 = jnp.concatenate([jnp.full((B, 1), INF), jnp.zeros((B, 11))], axis=1)
     I0 = _i0(B, seed, n_bvh, -1)
-    S0 = jnp.zeros((B, 3 * parts["stack_depth"]), jnp.int32)
+    S0 = (jnp.zeros((B, parts["stack_depth"]), jnp.int32),) * 3
 
     def boundary(F, M, W, I, S):
         at_b = (I[:, I_PTR] >= n_bvh) & (I[:, I_BOUNCE] != DONE)
@@ -866,9 +923,9 @@ def render_persistent(scene: RenderScene, frames, *, width: int, height: int,
                           jnp.zeros((B, 3))], axis=1)
     W0 = jnp.concatenate([jnp.full((B, 1), INF), jnp.zeros((B, 11))], axis=1)
     I0 = _i0(B, jnp.zeros((B,), jnp.uint32), n_bvh, IDLE)
-    I0 = I0.at[:, I_SAMPLE].set(rpp - 1)  # first boundary claims a pixel
+    I0 = I0.at[:, I_SAMPLE].set(jnp.full((B,), rpp - 1, jnp.int32))  # first boundary claims a pixel
     A0 = jnp.zeros((B, 4))                # per-pixel sample accumulator
-    S0 = jnp.zeros((B, 3 * parts["stack_depth"]), jnp.int32)
+    S0 = (jnp.zeros((B, parts["stack_depth"]), jnp.int32),) * 3
     # Completion LOG instead of a scatter target: the TPU scatter engine
     # runs at ~47 ns/row (measured — slower than gathers), so out.at[p].add
     # per boundary cost ~0.2 s/frame on the dragon. Completed pixels are
