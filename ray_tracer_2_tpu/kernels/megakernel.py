@@ -941,8 +941,13 @@ def render_persistent(scene: RenderScene, frames, *, width: int, height: int,
         logv0 = jnp.zeros((B, K, 4), jnp.float32)
         logp0 = jnp.zeros((1,), jnp.int32)
     else:
-        logv0 = jnp.zeros((total + B, 4), jnp.float32)
-        logp0 = jnp.zeros((total + B,), jnp.int32)
+        # one (total+B, 5) payload buffer: rgba in 0:4, the PIXEL ID
+        # bitcast into col 4. A separate s32[16384] id gather profiled at
+        # 116 us/iteration (scalar gathers pay full gather-row granularity
+        # per element) vs ~26 us for a wide row gather — carrying the id
+        # inside the payload row makes compaction one take + one DUS.
+        logv0 = jnp.zeros((total + B, 5), jnp.float32)
+        logp0 = jnp.zeros((1,), jnp.int32)
     lane_ids = jnp.arange(B, dtype=jnp.int32)
     k_cols = jnp.arange(K, dtype=jnp.int32)[None, :, None]
 
@@ -980,10 +985,12 @@ def render_persistent(scene: RenderScene, frames, *, width: int, height: int,
             # microbenched faster in isolation but measured 8% SLOWER in
             # the full frame.
             perm = jnp.argsort(jnp.logical_not(valid_px), stable=True)
-            vals_c = jnp.take(A / jnp.float32(rpp), perm, axis=0)
-            pix_c = jnp.take(I[:, I_PIXEL], perm)
-            logv = jax.lax.dynamic_update_slice(logv, vals_c, (wcursor, 0))
-            logp = jax.lax.dynamic_update_slice(logp, pix_c, (wcursor,))
+            payload = jnp.concatenate(
+                [A / jnp.float32(rpp),
+                 jax.lax.bitcast_convert_type(I[:, I_PIXEL],
+                                              jnp.float32)[:, None]], axis=1)
+            pay_c = jnp.take(payload, perm, axis=0)
+            logv = jax.lax.dynamic_update_slice(logv, pay_c, (wcursor, 0))
             wcursor = jnp.minimum(
                 wcursor + jnp.sum(valid_px.astype(jnp.int32)), total)
 
@@ -1077,7 +1084,9 @@ def render_persistent(scene: RenderScene, frames, *, width: int, height: int,
         # bank[L, k] holds pixel k*B + L: one transpose reassembles
         out = logv.transpose(1, 0, 2).reshape(K * B, 4)[:total]
     else:
-        # reassemble: log pixel ids are a permutation of [0, total)
-        order = jnp.argsort(logp[:total])
-        out = jnp.take(logv[:total], order, axis=0)
+        # reassemble: log pixel ids (payload col 4) are a permutation of
+        # [0, total)
+        pix = jax.lax.bitcast_convert_type(logv[:total, 4], jnp.int32)
+        order = jnp.argsort(pix)
+        out = jnp.take(logv[:total, :4], order, axis=0)
     return out.reshape(rows, width, 4), segments
