@@ -67,6 +67,12 @@ def _schunk(S: int) -> int:
 F_PX, F_PY, F_PZ, F_RAD = 32, 33, 34, 35
 F_N0 = 36   # n0 (3 rows), n1 (3), n2 (3) — rows 36..44
 F_ROWS = 48
+F_ROWS_SPHERES = 36   # no-mesh scenes skip the 9 normal rows (the extra
+                      # fields_for carries measured ~10% on metal)
+
+
+def _n_frows(T: int) -> int:
+    return F_ROWS if T else F_ROWS_SPHERES
 
 #: small-MESH scenes also fit whole-path: triangles baked to world space
 #: stream on sublanes exactly like spheres. Above this the dense cross
@@ -146,6 +152,7 @@ def _make_kernel(S: int, S_pad: int, SCHUNK: int, T: int, T_pad: int,
     n_tchunks = T_pad // TCHUNK
     has_spheres = S > 0
     has_tris = T > 0
+    NF = _n_frows(T)
     C = S_pad + T_pad   # combined one-hot id space; id C = miss
     span = bounces + 1
     SHAPE = (BLOCK_ROWS, LANES)
@@ -360,11 +367,11 @@ def _make_kernel(S: int, S_pad: int, SCHUNK: int, T: int, T_pad: int,
                     mT_ref[:], oh, (((1,), (0,)), ((), ())),
                     precision=jax.lax.Precision.HIGHEST)          # (F, 128)
                 return [jnp.where(sel, f[c:c + 1, :], out[c])
-                        for c in range(F_ROWS)]
+                        for c in range(NF)]
 
             return jax.lax.fori_loop(
                 0, BLOCK_ROWS, do_row,
-                [jnp.zeros(SHAPE, jnp.float32) for _ in range(F_ROWS)])
+                [jnp.zeros(SHAPE, jnp.float32) for _ in range(NF)])
 
         def _unpack(st):
             return [st[k * BLOCK_ROWS:(k + 1) * BLOCK_ROWS] for k in range(20)]
@@ -601,7 +608,7 @@ def _pack_tables(scene: RenderScene):
     sph = sph.at[:S, 0:3].set(scene.sphere_pos)
     sph = sph.at[:S, 3].set(scene.sphere_radius)
 
-    mT = jnp.zeros((F_ROWS, C), jnp.float32)
+    mT = jnp.zeros((_n_frows(T), C), jnp.float32)
     if S:
         mrows = jnp.take(scene.mat_rows, scene.sphere_mat, axis=0)  # (S, 32)
         mT = mT.at[:32, :S].set(mrows.T)
@@ -704,7 +711,8 @@ def render_spheres_pallas(scene: RenderScene, frames, *, width: int,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((T_pad, 16), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((F_ROWS, S_pad + T_pad), lambda i: (0, 0),
+            pl.BlockSpec((_n_frows(_tri_count(scene)), S_pad + T_pad),
+                         lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(px_spec,) * 5,
