@@ -985,10 +985,15 @@ def render_persistent(scene: RenderScene, frames, *, width: int, height: int,
             # microbenched faster in isolation but measured 8% SLOWER in
             # the full frame.
             perm = jnp.argsort(jnp.logical_not(valid_px), stable=True)
+            # bit 30 keeps the bitcast pattern a NORMAL float: raw small
+            # ids are f32 denormals, which the TPU flushes to zero inside
+            # fused copies — that scrambled whole renders (pixel order is
+            # the reassembly key). ids < 2^23 leave the mantissa intact.
             payload = jnp.concatenate(
                 [A / jnp.float32(rpp),
-                 jax.lax.bitcast_convert_type(I[:, I_PIXEL],
-                                              jnp.float32)[:, None]], axis=1)
+                 jax.lax.bitcast_convert_type(
+                     I[:, I_PIXEL] | jnp.int32(0x40000000),
+                     jnp.float32)[:, None]], axis=1)
             pay_c = jnp.take(payload, perm, axis=0)
             logv = jax.lax.dynamic_update_slice(logv, pay_c, (wcursor, 0))
             wcursor = jnp.minimum(
@@ -1086,7 +1091,8 @@ def render_persistent(scene: RenderScene, frames, *, width: int, height: int,
     else:
         # reassemble: log pixel ids (payload col 4) are a permutation of
         # [0, total)
-        pix = jax.lax.bitcast_convert_type(logv[:total, 4], jnp.int32)
+        pix = jax.lax.bitcast_convert_type(logv[:total, 4], jnp.int32) \
+            & jnp.int32(0x3FFFFFFF)
         order = jnp.argsort(pix)
         out = jnp.take(logv[:total, :4], order, axis=0)
     return out.reshape(rows, width, 4), segments
