@@ -50,6 +50,7 @@ class ViewerServer:
         self._frame_jpeg: bytes = b""
         self._frame_id = 0
         self._lock = threading.Lock()
+        self._frame_cv = threading.Condition(self._lock)
         self._stop = threading.Event()
         self._moving_until = 0.0
         self._httpd: ThreadingHTTPServer | None = None
@@ -69,9 +70,10 @@ class ViewerServer:
             buf = io.BytesIO()
             Image.fromarray(img).save(buf, format="JPEG",
                                       quality=self.jpeg_quality)
-            with self._lock:
+            with self._frame_cv:
                 self._frame_jpeg = buf.getvalue()
                 self._frame_id += 1
+                self._frame_cv.notify_all()
 
     # ------------------------------------------------------------ input
 
@@ -269,6 +271,37 @@ class ViewerServer:
                         data = viewer._frame_jpeg
                     self._send(200 if data else 503, data or b"loading",
                                "image/jpeg" if data else "text/plain")
+                elif self.path.startswith("/stream.mjpg"):
+                    # PUSH stream (multipart/x-mixed-replace): frames go
+                    # out the moment the render loop produces them — no
+                    # per-frame request round-trip like /frame.jpg
+                    # polling. Runs on its own handler thread
+                    # (ThreadingHTTPServer).
+                    self.send_response(200)
+                    self.send_header(
+                        "Content-Type",
+                        "multipart/x-mixed-replace; boundary=rt2frame")
+                    self.send_header("Cache-Control", "no-store")
+                    self.end_headers()
+                    last = -1
+                    try:
+                        while not viewer._stop.is_set():
+                            with viewer._frame_cv:
+                                if viewer._frame_id == last:
+                                    viewer._frame_cv.wait(timeout=1.0)
+                                data = viewer._frame_jpeg
+                                last = viewer._frame_id
+                            if not data:
+                                continue
+                            self.wfile.write(
+                                b"--rt2frame\r\n"
+                                b"Content-Type: image/jpeg\r\n"
+                                b"Content-Length: "
+                                + str(len(data)).encode() + b"\r\n\r\n")
+                            self.wfile.write(data)
+                            self.wfile.write(b"\r\n")
+                    except (BrokenPipeError, ConnectionResetError):
+                        pass  # client went away
                 elif self.path.startswith("/state"):
                     self._send(200, json.dumps(viewer.state()).encode(),
                                "application/json")
