@@ -77,6 +77,13 @@ def pack_texels_u8(texels: np.ndarray) -> np.ndarray:
     bilinear at B=16k)."""
     x = texels.shape[0]
     u8 = (np.clip(texels, 0.0, 1.0) * 255.0).round().astype(np.uint32)
+    err = np.abs(np.clip(texels, 0.0, 1.0) * 255.0 - u8)
+    if err.size and float(err.max()) > 1e-3:
+        import warnings
+        warnings.warn(
+            "pack_texels_u8: input texels are not on the u8/255 grid "
+            f"(max quantization error {err.max() / 255.0:.4g}) — HDR/float "
+            "textures degrade silently in the u8 atlas", stacklevel=2)
     words = (u8[:, 0] | (u8[:, 1] << 8) | (u8[:, 2] << 16)
              | (u8[:, 3] << 24)).astype(np.uint32)
     xp = -(-max(x, 1) // 128) * 128

@@ -152,19 +152,25 @@ class Engine:
         self._scene_for_stats = scene
         return fb
 
-    def _settle_pending(self) -> None:
+    def _settle_pending(self, block: bool = True) -> None:
         if self._pending_fb is not None:
+            if not block and not self._pending_fb.is_ready():
+                return
             self._pending_fb.block_until_ready()
             self._last_render_s = time.perf_counter() - self._pending_t0
             self._pending_fb = None
 
     @property
     def stats(self) -> FrameStats:
-        """Live metrics; reading syncs on the last frame's segment counter
-        (cheap: a scalar transfer once the frame has drained)."""
+        """Live metrics. NON-BLOCKING: an in-flight async frame is folded in
+        only once the device reports it ready (``is_ready``), so a stats read
+        in a tight host loop never serializes async dispatch; until then the
+        previous frame's numbers are returned with ``timing_exact=False``."""
         scene = getattr(self, "_scene_for_stats", None)
         if scene is not None:
-            self._settle_pending()
+            self._settle_pending(block=False)
+            if self._pending_fb is not None:
+                return self._stats  # still in flight: last settled numbers
         if scene is None:
             return self._stats
         segs = self.renderer.last_segments

@@ -102,14 +102,26 @@ class _ColAtCol:
     def __init__(self, cs, c):
         self.cs, self.c = cs, c
 
+    def _check(self, v):
+        # A scalar (or wrong-dtype) column would silently desync the
+        # while_loop carry pytree — catch it at the call site instead.
+        old = self.cs.vals[self.c]
+        assert getattr(v, "shape", None) == old.shape \
+            and getattr(v, "dtype", None) == old.dtype, \
+            f"ColState col {self.c}: {getattr(v, 'shape', v)}/" \
+            f"{getattr(v, 'dtype', type(v))} != {old.shape}/{old.dtype}"
+
     def set(self, v):
+        self._check(v)
         vals = list(self.cs.vals)
         vals[self.c] = v
         return ColState(vals)
 
     def add(self, v):
         vals = list(self.cs.vals)
-        vals[self.c] = vals[self.c] + v
+        new = vals[self.c] + v
+        self._check(new)
+        vals[self.c] = new
         return ColState(vals)
 
 

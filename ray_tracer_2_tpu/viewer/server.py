@@ -289,6 +289,8 @@ class ViewerServer:
                             with viewer._frame_cv:
                                 if viewer._frame_id == last:
                                     viewer._frame_cv.wait(timeout=1.0)
+                                if viewer._frame_id == last:
+                                    continue  # idle: don't re-send the frame
                                 data = viewer._frame_jpeg
                                 last = viewer._frame_id
                             if not data:
