@@ -104,6 +104,27 @@ def build_bvh(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
     tri_min = np.minimum(np.minimum(v0, v1), v2).astype(np.float32)
     tri_max = np.maximum(np.maximum(v0, v1), v2).astype(np.float32)
     centroid = ((v0 + v1 + v2) * (1.0 / 3.0)).astype(np.float32)
+    return build_bvh_bounds(tri_min, tri_max, centroid, quality=quality,
+                            max_leaf=max_leaf, t_start=t_start)
+
+
+def build_bvh_bounds(tri_min: np.ndarray, tri_max: np.ndarray,
+                     centroid: np.ndarray,
+                     quality: BVHQuality = BVHQuality.HIGH,
+                     max_leaf: int = DEFAULT_MAX_LEAF,
+                     t_start: float | None = None) -> BVH:
+    """Build over arbitrary primitive AABBs (e.g. spheres — the sphere
+    acceleration structure reuses the triangle machinery wholesale; the
+    reference has no sphere BVH at all, its kernel loops every sphere per
+    ray, ray_tracer.wgsl:357-364). ``tri_order`` is the primitive
+    permutation."""
+    t_start = time.perf_counter() if t_start is None else t_start
+    n = len(tri_min)
+    if n == 0:
+        z3 = np.zeros((1, 3), np.float32)
+        zi = np.zeros(1, np.int32)
+        return BVH(z3, z3, zi, zi.copy(), zi.copy(), zi.copy(), zi.copy(),
+                   np.zeros(0, np.int64), BVHStats())
 
     order = np.arange(n, dtype=np.int64)
 

@@ -88,6 +88,15 @@ COL_MATCULL = 0
 COL_LEAF_GEO = 17
 N_LEAF_GEO_COLS = 96
 
+# Sphere-BVH leaf rows (pack_sphere_wide_rows) reuse the same row shape:
+#   cols 0..8    original sphere id (float, exact — ids < 2^24)
+#   col  15/16   COL_COUNT / COL_FIRST (shared)
+#   cols 17..49  4 components x 8 spheres, blocked: cx*8 cy*8 cz*8 r2*8
+#                (empty slots carry r2 = -1: disc = b^2-4a(|oc|^2+1) < 0
+#                by Cauchy-Schwarz, so they can never hit)
+COL_SPH_ID = 0
+SPH_CHUNK = 8
+
 
 _F16_MIN_NORMAL = np.float16(2.0 ** -14)
 
@@ -204,7 +213,6 @@ def pack_wide_rows(bvh: BVH, v0, v1, v2, tri_mat, tri_cull,
 
     v0/v1/v2/tri_mat/tri_cull are LEAF-ORDERED triangle arrays (permuted by
     bvh.tri_order). Returns (rows (R, 128) f32, n_rows, wide_depth)."""
-    wb = collapse(bvh)
     count = bvh.node_count
 
     # ---- leaf row payloads, one per binary leaf: blocked geometry with
@@ -234,6 +242,16 @@ def pack_wide_rows(bvh: BVH, v0, v1, v2, tri_mat, tri_cull,
             # invalid slots: zero geometry -> n = 0 -> det = 0 -> the
             # keep-gate rejects them (matcull odd => cull => det >= 1e-8)
         return r
+
+    return _pack_rows(bvh, leaf_row, row_offset)
+
+
+def _pack_rows(bvh: BVH, leaf_row, row_offset: int):
+    """Shared internal-row packer: collapse the binary BVH and lay out wide
+    rows (BFS, children contiguous) calling ``leaf_row(node)`` for leaf
+    payloads. Returns (rows, n_rows, depth)."""
+    wb = collapse(bvh)
+    count = bvh.node_count
 
     if wb.root_is_leaf:
         rows = np.zeros((1, ROW_WIDTH), np.float32)
@@ -278,6 +296,41 @@ def pack_wide_rows(bvh: BVH, v0, v1, v2, tri_mat, tri_cull,
     # globalize base ids
     rows[:, COL_BASE] += np.where(rows[:, COL_COUNT] == 0.0, row_offset, 0.0)
     return rows, n_rows, wb.depth
+
+
+def pack_sphere_wide_rows(bvh: BVH, pos, radius, row_offset: int):
+    """Wide-row table for a SPHERE BVH (world space). ``pos``/``radius`` are
+    LEAF-ORDERED (permuted by bvh.tri_order); cols 0..8 carry the ORIGINAL
+    sphere ids so the kernel can fetch centre/material for the winner.
+
+    The reference has no sphere acceleration at all — its kernel loops every
+    sphere per ray (ray_tracer.wgsl:357-364); the dense cross was measured as
+    random_balls' dominant boundary cost (484 spheres x 16k lanes/segment,
+    docs/PERF_NOTES.md round-3)."""
+    order = bvh.tri_order
+    orig_ids = np.asarray(order, np.float32)  # leaf slot -> original id
+    n = len(pos)
+
+    def leaf_row(nd: int) -> np.ndarray:
+        r = np.zeros(ROW_WIDTH, np.float32)
+        first, k = int(bvh.node_first[nd]), int(bvh.node_count[nd])
+        r[COL_COUNT] = k
+        r[COL_FIRST] = first
+        for j in range(SPH_CHUNK):
+            s = min(first + j, max(n - 1, 0))
+            valid = j < k
+            r[COL_SPH_ID + j] = orig_ids[s] if valid else 0.0
+            c = np.asarray(pos[s], np.float32)
+            rad = np.float32(radius[s])
+            r[COL_LEAF_GEO + j] = c[0]
+            r[COL_LEAF_GEO + 8 + j] = c[1]
+            r[COL_LEAF_GEO + 16 + j] = c[2]
+            # r2 precomputed with the same f32 multiply the dense path does;
+            # empty slots get -1 (can never produce disc >= 0)
+            r[COL_LEAF_GEO + 24 + j] = (rad * rad) if valid else -1.0
+        return r
+
+    return _pack_rows(bvh, leaf_row, row_offset)
 
 
 def traverse_wide_numpy(rows_oct: np.ndarray, o, d, t_limit=np.inf,

@@ -64,6 +64,52 @@ class TextureAtlas:
         return TextureAtlas.from_images([])
 
 
+def _quantize_u8(texels: np.ndarray) -> np.ndarray:
+    u8 = (np.clip(texels, 0.0, 1.0) * 255.0).round().astype(np.uint32)
+    err = np.abs(np.clip(texels, 0.0, 1.0) * 255.0 - u8)
+    if err.size and float(err.max()) > 1e-3:
+        import warnings
+        warnings.warn(
+            "texel pack: input texels are not on the u8/255 grid "
+            f"(max quantization error {err.max() / 255.0:.4g}) — HDR/float "
+            "textures degrade silently in the u8 atlas", stacklevel=3)
+    return u8
+
+
+def pack_texels_u8_pairs(texels: np.ndarray, offsets: np.ndarray,
+                         heights: np.ndarray, widths: np.ndarray) -> np.ndarray:
+    """(X, 4) f32 texels -> (ceil(X/64), 128) f32 rows of PAIRED u8 RGBA
+    words: texel t = (x, y) of its slot lives at row t >> 6; column t & 63
+    holds texel (x, y) and column 64 + (t & 63) holds texel (x, (y+1) %% h)
+    of the same slot.
+
+    A bilinear tap needs (x0, y0) (x0, y1) (x1, y0) (x1, y1); with the y
+    pair baked into the row, the 4 per-tap gathers of the flat layout
+    become 2 (the dominant sponza boundary cost: 4 x ~25 us/boundary,
+    docs/PERF_NOTES.md round-3). Storage doubles — each texel also appears
+    as the y-neighbor of the row above — which is cheap next to halving
+    the gather count (both layouts sit past the ~8 MB gather cliff on
+    sponza). Values are the identical u8 words, so sampling is bit-equal
+    to the flat layout's."""
+    x = texels.shape[0]
+    u8 = _quantize_u8(texels)
+    words = (u8[:, 0] | (u8[:, 1] << 8) | (u8[:, 2] << 16)
+             | (u8[:, 3] << 24)).astype(np.uint32)
+    hi = np.empty_like(words)
+    for off, h, w in zip(offsets, heights, widths):
+        off, h, w = int(off), int(h), int(w)
+        if off >= x:
+            continue
+        blk = words[off:off + h * w].reshape(h, w)
+        hi[off:off + h * w] = np.roll(blk, -1, axis=0).reshape(-1)
+    xp = -(-max(x, 1) // 64) * 64
+    lo_p = np.concatenate([words, np.zeros(xp - x, np.uint32)])
+    hi_p = np.concatenate([hi, np.zeros(xp - x, np.uint32)])
+    rows = np.concatenate([lo_p.reshape(-1, 64), hi_p.reshape(-1, 64)],
+                          axis=1)
+    return rows.view(np.float32)
+
+
 def pack_texels_u8(texels: np.ndarray) -> np.ndarray:
     """(X, 4) f32 texels -> (ceil(X/128), 128) f32 rows of u8 RGBA words.
 
@@ -76,14 +122,7 @@ def pack_texels_u8(texels: np.ndarray) -> np.ndarray:
     gather granules (scripts/probe_texels.py: 1129 -> 624 us per 4-tap
     bilinear at B=16k)."""
     x = texels.shape[0]
-    u8 = (np.clip(texels, 0.0, 1.0) * 255.0).round().astype(np.uint32)
-    err = np.abs(np.clip(texels, 0.0, 1.0) * 255.0 - u8)
-    if err.size and float(err.max()) > 1e-3:
-        import warnings
-        warnings.warn(
-            "pack_texels_u8: input texels are not on the u8/255 grid "
-            f"(max quantization error {err.max() / 255.0:.4g}) — HDR/float "
-            "textures degrade silently in the u8 atlas", stacklevel=2)
+    u8 = _quantize_u8(texels)
     words = (u8[:, 0] | (u8[:, 1] << 8) | (u8[:, 2] << 16)
              | (u8[:, 3] << 24)).astype(np.uint32)
     xp = -(-max(x, 1) // 128) * 128

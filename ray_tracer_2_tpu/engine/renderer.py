@@ -30,14 +30,15 @@ DEFAULT_TILE_COLS = 256
 @partial(jax.jit, donate_argnums=(1,),
          static_argnames=("width", "height", "bounces", "rays_per_pixel",
                           "skybox", "debug_mode", "tile_rows", "tile_cols",
-                          "lanes", "unroll", "shade_every", "normal_maps",
-                          "pallas_spheres", "claim"))
+                          "lanes", "unroll", "shade_every", "cohorts",
+                          "normal_maps", "pallas_spheres", "claim"))
 def render_frame(scene: RenderScene, framebuffer: jax.Array, frames: jax.Array,
                  debug_scale: jax.Array, *, width: int, height: int,
                  bounces: int, rays_per_pixel: int, skybox: bool,
                  debug_mode: int, tile_rows: int, tile_cols: int | None = None,
                  lanes: int | None = None, unroll: int | None = None,
-                 shade_every: int | None = None, normal_maps: bool = False,
+                 shade_every: int | None = None, cohorts: int | None = None,
+                 normal_maps: bool = False,
                  pallas_spheres: bool = False, claim: str | None = None):
     """Render + accumulate one frame. framebuffer: (height, width, 4) f32.
     Returns (new framebuffer, traced-segment count scalar)."""
@@ -46,7 +47,8 @@ def render_frame(scene: RenderScene, framebuffer: jax.Array, frames: jax.Array,
         bounces=bounces, rays_per_pixel=rays_per_pixel, skybox=skybox,
         debug_mode=debug_mode, tile_rows=tile_rows, tile_cols=tile_cols,
         lanes=lanes, unroll=unroll, shade_every=shade_every,
-        normal_maps=normal_maps, pallas_spheres=pallas_spheres, claim=claim)
+        cohorts=cohorts, normal_maps=normal_maps,
+        pallas_spheres=pallas_spheres, claim=claim)
     # Progressive average (ray_tracer.wgsl:154-161): frames <= 0 ⇒ overwrite.
     weight = jnp.where(frames >= 1, 1.0 / (frames.astype(jnp.float32) + 1.0), 1.0)
     return framebuffer * (1.0 - weight) + sample * weight, segments
@@ -58,7 +60,7 @@ def render_sample(scene: RenderScene, frames, debug_scale, *, width: int,
                   tile_cols: int | None = None,
                   row_start=0, rows: int | None = None,
                   lanes: int | None = None, unroll: int | None = None,
-                  shade_every: int | None = None,
+                  shade_every: int | None = None, cohorts: int | None = None,
                   normal_maps: bool = False,
                   pallas_spheres: bool = False,
                   claim: str | None = None) -> jax.Array:
@@ -100,6 +102,8 @@ def render_sample(scene: RenderScene, frames, debug_scale, *, width: int,
             kw["unroll"] = unroll
         if shade_every is not None:
             kw["shade_every"] = shade_every
+        if cohorts is not None:
+            kw["cohorts"] = cohorts
         if claim is not None:
             kw["claim"] = claim
         return megakernel.render_persistent(
@@ -143,12 +147,14 @@ class Renderer:
     def __init__(self, tile_rows: int = DEFAULT_TILE_ROWS,
                  tile_cols: int | None = DEFAULT_TILE_COLS,
                  lanes: int | None = None, unroll: int | None = None,
-                 shade_every: int | None = None, claim: str | None = None):
+                 shade_every: int | None = None, cohorts: int | None = None,
+                 claim: str | None = None):
         self.tile_rows = tile_rows
         self.tile_cols = tile_cols
         self.lanes = lanes
         self.unroll = unroll
         self.shade_every = shade_every
+        self.cohorts = cohorts
         self.claim = claim
         self.framebuffer: jax.Array | None = None
         self.last_segments: jax.Array | None = None  # traced rays last frame
@@ -196,7 +202,8 @@ class Renderer:
             debug_mode=int(params.debug_mode),
             tile_rows=self.tile_rows, tile_cols=self.tile_cols,
             lanes=self.lanes, unroll=self.unroll,
-            shade_every=self.shade_every, claim=self.claim,
+            shade_every=self.shade_every, cohorts=self.cohorts,
+            claim=self.claim,
             normal_maps=bool(getattr(params, "normal_maps", False)),
             pallas_spheres=self._use_pallas_spheres(scene, params),
         )

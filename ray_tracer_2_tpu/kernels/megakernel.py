@@ -150,6 +150,15 @@ def _make_parts(scene: RenderScene, B: int, bounces: int, skybox: bool,
     bvh_ids = _bvh_instances(scene)
     n_bvh = len(bvh_ids)
     roots = [scene.wide_roots[i] for i in bvh_ids]
+    # Sphere BVH (accel/wide.py pack_sphere_wide_rows): one extra traversal
+    # phase AFTER the triangle instances (phase index n_bvh), in WORLD space.
+    # Replaces the dense every-sphere cross of the prepass — the reference
+    # loops all spheres per ray (ray_tracer.wgsl:357-364) and so did we;
+    # random_balls pays 484 quadratics x 16k lanes per segment that way.
+    sph_root = int(getattr(scene, "sphere_bvh_root", -1))
+    sph = sph_root >= 0
+    n_phase = n_bvh + (1 if sph else 0)
+    SPH_SENT = 0x3FFFFFFF  # best-id sentinel: loses every (dst, id) lex tie
     D = int(scene.wide_depth) + 2  # resume-stack depth (static)
     w2m_all = scene.inst_world_to_model
     m2w_all = scene.inst_model_to_world
@@ -199,6 +208,8 @@ def _make_parts(scene: RenderScene, B: int, bounces: int, skybox: bool,
     # 100% for rays that miss the instance box outright.
     if n_bvh:
         root_rows = jnp.stack([scene.wide_rows[r] for r in roots], axis=0)
+    if sph:
+        sph_root_row = scene.wide_rows[sph_root]
 
     def root_row_for(ptr):
         out = jnp.broadcast_to(root_rows[0], (B, 128))
@@ -272,13 +283,16 @@ def _make_parts(scene: RenderScene, B: int, bounces: int, skybox: bool,
                       axis=1)
         return mask, c_min, dn2
 
-    def wide_enter(row, om, dm, enter, SB, SM, SD):
-        """Evaluate a wide row for freshly-entering lanes (t_limit = INF):
-        nearest-hit child entry + remainder push onto an empty stack.
-        Returns (cur — -1 on miss, SB, SM, SD, sp, k)."""
+    def wide_enter(row, om, dm, enter, SB, SM, SD, limit=None):
+        """Evaluate a wide row for freshly-entering lanes (t_limit = INF, or
+        ``limit`` — the sphere phase enters with the segment's current best
+        world distance): nearest-hit child entry + remainder push onto an
+        empty stack. Returns (cur — -1 on miss, SB, SM, SD, sp, k)."""
         inv_dm = 1.0 / dm
         k = row[:, wd.COL_K].astype(jnp.int32)
-        mask, c_min, dn2 = wide_eval(row, om, inv_dm, jnp.full((B,), INF), k)
+        if limit is None:
+            limit = jnp.full((B,), INF)
+        mask, c_min, dn2 = wide_eval(row, om, inv_dm, limit, k)
         base = row[:, wd.COL_BASE].astype(jnp.int32)
         has = mask != 0   # bit 31 makes int32 masks negative
         rem = mask & ~jnp.left_shift(jnp.int32(1), c_min)
@@ -317,55 +331,105 @@ def _make_parts(scene: RenderScene, B: int, bounces: int, skybox: bool,
         child = base + c_min
         rem = mask & ~jnp.left_shift(jnp.int32(1), c_min)
 
-        # ---- leaf row: blocked 8-triangle Möller–Trumbore. Geometry is
-        # component-blocked with f32-precomputed edges/normals
-        # (accel/wide.py), so the whole test is ~45 wide (B, 8) ops —
-        # the sequential per-triangle loop of (B, 3) slices was the only
-        # step cost not hidden under the row-gather latency
-        # (scripts/ablate_step.py) ----
-        best_u, best_v, best_det = M[:, 7], M[:, 8], M[:, 9]
-        best_tri, best_mat = I[:, I_TRI], I[:, I_MAT]
-        first = row[:, wd.COL_FIRST].astype(jnp.int32)
-        G = wd.COL_LEAF_GEO
-        v0x, v0y, v0z = row[:, G:G+8], row[:, G+8:G+16], row[:, G+16:G+24]
-        e1x, e1y, e1z = row[:, G+24:G+32], row[:, G+32:G+40], row[:, G+40:G+48]
-        e2x, e2y, e2z = row[:, G+48:G+56], row[:, G+56:G+64], row[:, G+64:G+72]
-        nx_, ny_, nz_ = row[:, G+72:G+80], row[:, G+80:G+88], row[:, G+88:G+96]
+        # which lanes are in the sphere-BVH phase (ptr == n_bvh)? STATIC
+        # per-scene: pure-sphere scenes compile out the triangle test, tri
+        # scenes without a sphere BVH compile out the sphere test.
+        if sph:
+            sph_phase = active if n_bvh == 0 else \
+                (active & (I[:, I_PTR] == n_bvh))
         omx, omy, omz = om[:, 0:1], om[:, 1:2], om[:, 2:3]
         dmx, dmy, dmz = dm[:, 0:1], dm[:, 1:2], dm[:, 2:3]
-        det8 = -(dmx * nx_ + dmy * ny_ + dmz * nz_)
-        mc = row[:, wd.COL_MATCULL:wd.COL_MATCULL + 8].astype(jnp.int32)
-        cull8 = (mc & 1) == 1
-        keep8 = (cull8 & (det8 >= 1e-8)) | (~cull8 & (jnp.abs(det8) >= 1e-8))
-        inv8 = 1.0 / jnp.where(keep8, det8, 1.0)
-        aox, aoy, aoz = omx - v0x, omy - v0y, omz - v0z
-        daox = aoy * dmz - aoz * dmy
-        daoy = aoz * dmx - aox * dmz
-        daoz = aox * dmy - aoy * dmx
-        dst8 = (aox * nx_ + aoy * ny_ + aoz * nz_) * inv8
-        u8 = (e2x * daox + e2y * daoy + e2z * daoz) * inv8
-        v8 = -(e1x * daox + e1y * daoy + e1z * daoz) * inv8
-        w8 = 1.0 - u8 - v8
-        hit8 = keep8 & (dst8 > 1e-5) & (u8 >= 0.0) & (v8 >= 0.0) \
-            & (w8 >= 0.0) & is_leaf[:, None] & (dst8 < best_dst[:, None])
-        dstw8 = jnp.where(hit8, dst8, INF)
-        jstar = jnp.argmin(dstw8, axis=1).astype(jnp.int32)
-        jlane = jnp.arange(LEAF_CHUNK, dtype=jnp.int32)[None, :]
-        winner8 = hit8 & (jlane == jstar[:, None])
-        m8 = jnp.sum(jnp.where(winner8, dstw8, 0.0), axis=1)
-        any8 = jnp.any(hit8, axis=1)
-        better = any8  # hit8 already requires dst < best_dst & is_leaf
-        best_tri = jnp.where(better, first + jstar, best_tri)
-        best_u = jnp.where(better, jnp.sum(jnp.where(winner8, u8, 0.0),
-                                           axis=1), best_u)
-        best_v = jnp.where(better, jnp.sum(jnp.where(winner8, v8, 0.0),
-                                           axis=1), best_v)
-        best_det = jnp.where(better, jnp.sum(jnp.where(winner8, det8, 0.0),
-                                             axis=1), best_det)
-        best_mat = jnp.where(better,
-                             jnp.sum(jnp.where(winner8, mc >> 1, 0), axis=1),
-                             best_mat)
-        best_dst = jnp.where(better, m8, best_dst)
+        best_u, best_v, best_det = M[:, 7], M[:, 8], M[:, 9]
+        best_tri, best_mat = I[:, I_TRI], I[:, I_MAT]
+        G = wd.COL_LEAF_GEO
+
+        if n_bvh:
+            # ---- leaf row: blocked 8-triangle Möller–Trumbore. Geometry is
+            # component-blocked with f32-precomputed edges/normals
+            # (accel/wide.py), so the whole test is ~45 wide (B, 8) ops —
+            # the sequential per-triangle loop of (B, 3) slices was the only
+            # step cost not hidden under the row-gather latency
+            # (scripts/ablate_step.py) ----
+            tri_leaf = is_leaf if not sph else (is_leaf & ~sph_phase)
+            first = row[:, wd.COL_FIRST].astype(jnp.int32)
+            v0x, v0y, v0z = row[:, G:G+8], row[:, G+8:G+16], row[:, G+16:G+24]
+            e1x, e1y, e1z = row[:, G+24:G+32], row[:, G+32:G+40], \
+                row[:, G+40:G+48]
+            e2x, e2y, e2z = row[:, G+48:G+56], row[:, G+56:G+64], \
+                row[:, G+64:G+72]
+            nx_, ny_, nz_ = row[:, G+72:G+80], row[:, G+80:G+88], \
+                row[:, G+88:G+96]
+            det8 = -(dmx * nx_ + dmy * ny_ + dmz * nz_)
+            mc = row[:, wd.COL_MATCULL:wd.COL_MATCULL + 8].astype(jnp.int32)
+            cull8 = (mc & 1) == 1
+            keep8 = (cull8 & (det8 >= 1e-8)) | (~cull8 & (jnp.abs(det8) >= 1e-8))
+            inv8 = 1.0 / jnp.where(keep8, det8, 1.0)
+            aox, aoy, aoz = omx - v0x, omy - v0y, omz - v0z
+            daox = aoy * dmz - aoz * dmy
+            daoy = aoz * dmx - aox * dmz
+            daoz = aox * dmy - aoy * dmx
+            dst8 = (aox * nx_ + aoy * ny_ + aoz * nz_) * inv8
+            u8 = (e2x * daox + e2y * daoy + e2z * daoz) * inv8
+            v8 = -(e1x * daox + e1y * daoy + e1z * daoz) * inv8
+            w8 = 1.0 - u8 - v8
+            hit8 = keep8 & (dst8 > 1e-5) & (u8 >= 0.0) & (v8 >= 0.0) \
+                & (w8 >= 0.0) & tri_leaf[:, None] & (dst8 < best_dst[:, None])
+            dstw8 = jnp.where(hit8, dst8, INF)
+            jstar = jnp.argmin(dstw8, axis=1).astype(jnp.int32)
+            jlane = jnp.arange(LEAF_CHUNK, dtype=jnp.int32)[None, :]
+            winner8 = hit8 & (jlane == jstar[:, None])
+            m8 = jnp.sum(jnp.where(winner8, dstw8, 0.0), axis=1)
+            any8 = jnp.any(hit8, axis=1)
+            better = any8  # hit8 already requires dst < best_dst & tri_leaf
+            best_tri = jnp.where(better, first + jstar, best_tri)
+            best_u = jnp.where(better, jnp.sum(jnp.where(winner8, u8, 0.0),
+                                               axis=1), best_u)
+            best_v = jnp.where(better, jnp.sum(jnp.where(winner8, v8, 0.0),
+                                               axis=1), best_v)
+            best_det = jnp.where(better, jnp.sum(jnp.where(winner8, det8, 0.0),
+                                                 axis=1), best_det)
+            best_mat = jnp.where(better,
+                                 jnp.sum(jnp.where(winner8, mc >> 1, 0),
+                                         axis=1),
+                                 best_mat)
+            best_dst = jnp.where(better, m8, best_dst)
+
+        if sph:
+            # ---- sphere leaf: blocked 8-sphere quadratic, arithmetic
+            # identical to the dense prepass (intersect.ray_sphere) so a
+            # sphere's dst/inside are bit-equal either route. Winner rule
+            # reproduces the dense path's argmin tie-break (lowest original
+            # id among equal distances) via a (dst, id) lexicographic
+            # compare, seeded with SPH_SENT so a sphere BEATS an
+            # equal-distance triangle/brute hit — the dense order evaluated
+            # spheres first and later phases compared strictly. ----
+            sph_leaf = is_leaf if n_bvh == 0 else (is_leaf & sph_phase)
+            cx = row[:, G:G+8]
+            cy = row[:, G+8:G+16]
+            cz = row[:, G+16:G+24]
+            r2 = row[:, G+24:G+32]
+            sid = row[:, wd.COL_SPH_ID:wd.COL_SPH_ID + 8]
+            ocx, ocy, ocz = omx - cx, omy - cy, omz - cz
+            a1 = dmx * dmx + dmy * dmy + dmz * dmz
+            b1 = 2.0 * (ocx * dmx + ocy * dmy + ocz * dmz)
+            c1 = (ocx * ocx + ocy * ocy + ocz * ocz) - r2
+            disc = b1 * b1 - 4.0 * a1 * c1
+            sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+            dn8 = jnp.maximum(0.0, (-b1 - sq) / (2.0 * a1))
+            df8 = (-b1 + sq) / (2.0 * a1)
+            hitS = (disc >= 0.0) & (df8 >= 0.001) & sph_leaf[:, None]
+            dstS = jnp.where(dn8 == 0.0, df8, dn8)
+            dstwS = jnp.where(hitS, dstS, INF)
+            mnS = jnp.min(dstwS, axis=1)
+            idw = jnp.where(hitS & (dstwS == mnS[:, None]), sid,
+                            jnp.float32(SPH_SENT))
+            idmn = jnp.min(idw, axis=1)
+            anyS = jnp.any(hitS, axis=1)
+            best_id_f = best_tri.astype(jnp.float32)
+            betterS = anyS & ((mnS < best_dst)
+                              | ((mnS == best_dst) & (idmn < best_id_f)))
+            best_tri = jnp.where(betterS, idmn.astype(jnp.int32), best_tri)
+            best_dst = jnp.where(betterS, mnS, best_dst)
 
         # ---- stack: push the remaining-hits entry, or pop to resume.
         # Entries carry the min entry distance of their remaining children
@@ -416,35 +480,80 @@ def _make_parts(scene: RenderScene, B: int, bounces: int, skybox: bool,
 
     # ------------------------------------ instance advance (inline) --
     def advance_instance(F, M, W, I, S):
-        if n_bvh == 0:
+        if n_phase == 0:
             return F, M, W, I, S
+        # On 1-phase scenes the advance fires most iterations AND the
+        # lax.cond is a scheduling barrier (same effect as the boundary
+        # gate): inlining measured 9.85 -> 10.02 Mrays/s on the dragon.
+        # Multi-phase scenes keep the gate — it skips real work there.
+        if n_phase <= 2:
+            return _advance_impl(F, M, W, I, S)
         cur = I[:, I_CUR]
         ptr = I[:, I_PTR]
         live = (I[:, I_BOUNCE] != DONE) & (I[:, I_BOUNCE] != IDLE)
-        pending = (cur == -1) & (ptr < n_bvh) & live
-        # On 1-instance scenes the advance fires most iterations AND the
-        # lax.cond is a scheduling barrier (same effect as the boundary
-        # gate): inlining measured 9.85 -> 10.02 Mrays/s on the dragon.
-        # Multi-instance scenes keep the gate — it skips real work there.
-        if n_bvh <= 2:
-            del pending
-            return _advance_impl(F, M, W, I, S)
+        pending = (cur == -1) & (ptr < n_phase) & live
         return jax.lax.cond(jnp.any(pending), _advance_impl,
                             lambda *s: s, F, M, W, I, S)
+
+    def _sphere_merge(F, M, W, I, at_send):
+        """Sphere-phase end: fold the traversal's lex winner (id in I_TRI,
+        dst in M[:, 6]) into the segment state. Centre/radius/material come
+        from exact one-hot matmuls (HIGHEST) — the same fetch the dense
+        prepass used — and the inside flag is recomputed with the identical
+        quadratic, so every value is bit-equal to the dense path's."""
+        got = at_send & (I[:, I_TRI] != SPH_SENT)
+        Ssp = scene.n_spheres
+        sid = jnp.clip(I[:, I_TRI], 0, Ssp - 1)
+        oh = (sid[:, None] == jnp.arange(Ssp, dtype=jnp.int32)[None, :]
+              ).astype(jnp.float32)
+        centre = jnp.dot(oh, scene.sphere_pos,
+                         precision=jax.lax.Precision.HIGHEST)
+        rad = jnp.dot(oh, scene.sphere_radius,
+                      precision=jax.lax.Precision.HIGHEST)
+        mat = jnp.dot(oh, scene.sphere_mat.astype(jnp.float32),
+                      precision=jax.lax.Precision.HIGHEST).astype(jnp.int32)
+        o, d = F[:, 0:3], F[:, 3:6]
+        dst = M[:, 6]
+        hp = o + d * dst[:, None]
+        oc = o - centre
+        a1 = dot(d, d)
+        b1 = 2.0 * dot(oc, d)
+        c1 = dot(oc, oc) - rad * rad
+        disc = b1 * b1 - 4.0 * a1 * c1
+        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+        inside = jnp.maximum(0.0, (-b1 - sq) / (2.0 * a1)) == 0.0
+        sn, s_uv = sphere_normal_uv(hp, centre, inside)
+        W = jnp.where(got[:, None], jnp.concatenate([
+            dst[:, None], jnp.zeros((B, 3)), hp, sn, s_uv], axis=1), W)
+        I = I.at[:, I_STRI].set(jnp.where(got, -2, I[:, I_STRI]))
+        I = I.at[:, I_SMAT].set(jnp.where(got, mat, I[:, I_SMAT]))
+        I = I.at[:, I_FLAG].set(jnp.where(got, inside.astype(jnp.int32),
+                                          I[:, I_FLAG]))
+        return W, I
 
     def _advance_impl(F, M, W, I, S):
         cur = I[:, I_CUR]
         ptr = I[:, I_PTR]
         live = (I[:, I_BOUNCE] != DONE) & (I[:, I_BOUNCE] != IDLE)
-        at_end = (cur == -1) & (ptr < n_bvh) & live
+        o = F[:, 0:3]
 
+        if sph:
+            at_send = (cur == -1) & (ptr == n_bvh) & live
+            W, I = _sphere_merge(F, M, W, I, at_send)
+
+        if n_bvh == 0:
+            # sphere phase only: merge done, move to the boundary
+            I = I.at[:, I_PTR].set(jnp.where(
+                (cur == -1) & (ptr == 0) & live, 1, ptr))
+            return F, M, W, I, S
+
+        at_end = (cur == -1) & (ptr < n_bvh) & live
         om, dm = M[:, 0:3], M[:, 3:6]
         got = at_end & (I[:, I_TRI] >= 0)
         m2w = m2w_for(ptr)
         local_hp = om + dm * M[:, 6:7]
         world_hp = jnp.einsum("bij,bj->bi", m2w[:, :3, :3], local_hp) \
             + m2w[:, :3, 3]
-        o = F[:, 0:3]
         world_dst = jnp.sqrt(dot(world_hp - o, world_hp - o))
         better = got & (world_dst < W[:, 0])
         W = jnp.where(better[:, None], jnp.concatenate([
@@ -457,33 +566,52 @@ def _make_parts(scene: RenderScene, B: int, bounces: int, skybox: bool,
         I = I.at[:, I_FLAG].set(jnp.where(better, raw, I[:, I_FLAG]))
 
         new_ptr = jnp.where(at_end, ptr + 1, ptr)
-        if n_bvh == 1:
-            # the entering block is logically dead (new_ptr always reaches
-            # n_bvh). Keeping it once measured FASTER (dead ops overlapped
-            # gather latency, 8.25 vs 7.43); re-tested after the blocked
-            # leaf + ungated boundary freed the VPU: compiling it out now
-            # wins — the schedule is VPU-contended, not latency-starved
-            I = I.at[:, I_PTR].set(new_ptr)
-            return F, M, W, I, S
-        entering = at_end & (new_ptr < n_bvh)
-        w2m = w2m_for(new_ptr)
-        d = F[:, 3:6]
-        om_n = jnp.einsum("bij,bj->bi", w2m[:, :3, :3], o) + w2m[:, :3, 3]
-        dm_n = normalize(jnp.einsum("bij,bj->bi", w2m[:, :3, :3], d))
-        M = jnp.where(entering[:, None], jnp.concatenate(
-            [om_n, dm_n, jnp.full((B, 1), INF), jnp.zeros((B, 3))], axis=1), M)
-        # inline root evaluation: entering lanes land directly on the root's
-        # nearest hit child (or -1 on a whole-instance miss) with the
-        # remaining hits pre-pushed — no root row gather
+        if sph:
+            new_ptr = jnp.where((cur == -1) & (ptr == n_bvh) & live,
+                                n_bvh + 1, new_ptr)
         SB, SM, SD = S
-        cur_e, SB, SM, SD, sp_e, k_e = wide_enter(
-            root_row_for(new_ptr), om_n, dm_n, entering, SB, SM, SD)
+        if n_bvh > 1:
+            entering = at_end & (new_ptr < n_bvh)
+            w2m = w2m_for(new_ptr)
+            d = F[:, 3:6]
+            om_n = jnp.einsum("bij,bj->bi", w2m[:, :3, :3], o) + w2m[:, :3, 3]
+            dm_n = normalize(jnp.einsum("bij,bj->bi", w2m[:, :3, :3], d))
+            M = jnp.where(entering[:, None], jnp.concatenate(
+                [om_n, dm_n, jnp.full((B, 1), INF), jnp.zeros((B, 3))],
+                axis=1), M)
+            # inline root evaluation: entering lanes land directly on the
+            # root's nearest hit child (or -1 on a whole-instance miss) with
+            # the remaining hits pre-pushed — no root row gather
+            cur_e, SB, SM, SD, sp_e, k_e = wide_enter(
+                root_row_for(new_ptr), om_n, dm_n, entering, SB, SM, SD)
+            I = I.at[:, I_CUR].set(jnp.where(entering, cur_e, I[:, I_CUR]))
+            I = I.at[:, I_TRI].set(jnp.where(entering, -1, I[:, I_TRI]))
+            I = I.at[:, I_SP].set(jnp.where(entering, sp_e, I[:, I_SP]))
+            I = I.at[:, I_SN].add(jnp.where(entering, k_e, 0))
+        # else: the tri entering block is logically dead on 1-instance
+        # scenes (new_ptr always reaches n_bvh). Keeping it once measured
+        # FASTER (dead ops overlapped gather latency, 8.25 vs 7.43);
+        # re-tested after the blocked leaf + ungated boundary freed the
+        # VPU: compiling it out wins — the schedule is VPU-contended, not
+        # latency-starved.
+        if sph:
+            # lanes that just finished the LAST triangle instance enter the
+            # sphere BVH (world space, seeded with the segment's best world
+            # distance for slab pruning + the lex-tie seed)
+            entering_s = at_end & (new_ptr == n_bvh)
+            d = F[:, 3:6]
+            M = jnp.where(entering_s[:, None], jnp.concatenate(
+                [o, d, W[:, 0:1], jnp.zeros((B, 3))], axis=1), M)
+            cur_s, SB, SM, SD, sp_s, k_s = wide_enter(
+                jnp.broadcast_to(sph_root_row, (B, 128)), o, d, entering_s,
+                SB, SM, SD, limit=W[:, 0])
+            I = I.at[:, I_CUR].set(jnp.where(entering_s, cur_s, I[:, I_CUR]))
+            I = I.at[:, I_TRI].set(jnp.where(entering_s, SPH_SENT,
+                                             I[:, I_TRI]))
+            I = I.at[:, I_SP].set(jnp.where(entering_s, sp_s, I[:, I_SP]))
+            I = I.at[:, I_SN].add(jnp.where(entering_s, k_s, 0))
         S = (SB, SM, SD)
-        I = I.at[:, I_CUR].set(jnp.where(entering, cur_e, I[:, I_CUR]))
-        I = I.at[:, I_TRI].set(jnp.where(entering, -1, I[:, I_TRI]))
         I = I.at[:, I_PTR].set(new_ptr)
-        I = I.at[:, I_SP].set(jnp.where(entering, sp_e, I[:, I_SP]))
-        I = I.at[:, I_SN].add(jnp.where(entering, k_e, 0))
         return F, M, W, I, S
 
     # -------------------------------------------- resolve + shade ----
@@ -674,7 +802,7 @@ def _make_parts(scene: RenderScene, B: int, bounces: int, skybox: bool,
         seg_det = jnp.zeros((B,))
         seg_inst = jnp.zeros((B,), jnp.int32)
 
-        if scene.n_spheres > 0:
+        if scene.n_spheres > 0 and not sph:
             S = scene.n_spheres
             s_hit, s_dst, s_inside = ray_sphere(
                 o[:, None, :], d[:, None, :],
@@ -761,17 +889,33 @@ def _make_parts(scene: RenderScene, B: int, bounces: int, skybox: bool,
             I = I.at[:, I_CUR].set(jnp.where(starts, cur0, I[:, I_CUR]))
             I = I.at[:, I_SP].set(jnp.where(starts, sp0, I[:, I_SP]))
             I = I.at[:, I_SN].add(jnp.where(starts, k0, 0))
+        elif sph:
+            # no triangle instances: the segment starts directly in the
+            # sphere-BVH phase (world ray, best seeded from the brute
+            # prepass — INF on pure-sphere scenes)
+            M = jnp.where(sb, jnp.concatenate(
+                [o, d, W_new[:, 0:1], jnp.zeros((B, 3))], axis=1), M)
+            SB, SM, SD = S
+            cur0, SB, SM, SD, sp0, k0 = wide_enter(
+                jnp.broadcast_to(sph_root_row, (B, 128)), o, d, starts,
+                SB, SM, SD, limit=W_new[:, 0])
+            S = (SB, SM, SD)
+            I = I.at[:, I_CUR].set(jnp.where(starts, cur0, I[:, I_CUR]))
+            I = I.at[:, I_SP].set(jnp.where(starts, sp0, I[:, I_SP]))
+            I = I.at[:, I_SN].add(jnp.where(starts, k0, 0))
         else:
             I = I.at[:, I_CUR].set(jnp.where(starts, -1, I[:, I_CUR]))
             I = I.at[:, I_SP].set(jnp.where(starts, 0, I[:, I_SP]))
         I = I.at[:, I_PTR].set(jnp.where(starts, 0, I[:, I_PTR]))
-        I = I.at[:, I_TRI].set(jnp.where(starts, -1, I[:, I_TRI]))
+        I = I.at[:, I_TRI].set(jnp.where(
+            starts, SPH_SENT if (sph and n_bvh == 0) else -1, I[:, I_TRI]))
         I = I.at[:, I_STRI].set(jnp.where(starts, seg_tri2, I[:, I_STRI]))
         I = I.at[:, I_SMAT].set(jnp.where(starts, seg_mat2, I[:, I_SMAT]))
         I = I.at[:, I_FLAG].set(jnp.where(starts, seg_flag, I[:, I_FLAG]))
         return F, M, W, I, S
 
-    return dict(n_bvh=n_bvh, traversal_step=traversal_step,
+    return dict(n_bvh=n_bvh, n_phase=n_phase, sph=sph,
+                traversal_step=traversal_step,
                 advance_instance=advance_instance,
                 resolve_and_shade=resolve_and_shade,
                 start_segments=start_segments, stack_depth=D)
@@ -822,19 +966,19 @@ def trace_batch_flat(scene: RenderScene, origin, direction, seed, *,
     B = origin.shape[0]
     direction = normalize(direction)
     parts = _make_parts(scene, B, bounces, skybox)
-    n_bvh = parts["n_bvh"]
-    assert n_bvh >= 1
+    n_phase = parts["n_phase"]
+    assert n_phase >= 1
 
     F0 = jnp.concatenate([origin, direction, jnp.ones((B, 4)),
                           jnp.zeros((B, 4))], axis=1)
     M0 = jnp.concatenate([jnp.zeros((B, 6)), jnp.full((B, 1), INF),
                           jnp.zeros((B, 3))], axis=1)
     W0 = jnp.concatenate([jnp.full((B, 1), INF), jnp.zeros((B, 11))], axis=1)
-    I0 = _i0(B, seed, n_bvh, -1)
+    I0 = _i0(B, seed, n_phase, -1)
     S0 = (jnp.zeros((B, parts["stack_depth"]), jnp.int32),) * 3
 
     def boundary(F, M, W, I, S):
-        at_b = (I[:, I_PTR] >= n_bvh) & (I[:, I_BOUNCE] != DONE)
+        at_b = (I[:, I_PTR] >= n_phase) & (I[:, I_BOUNCE] != DONE)
         o, d, trans, incoming, seed, continues_path = \
             parts["resolve_and_shade"](F, W, I, at_b)
         started = I[:, I_BOUNCE] >= 0
@@ -846,7 +990,7 @@ def trace_batch_flat(scene: RenderScene, origin, direction, seed, *,
             F, M, W, I, S, continues, o, d, trans, incoming, seed,
             jnp.where(continues, next_bounce, I[:, I_BOUNCE]))
         I = I.at[:, I_BOUNCE].set(jnp.where(dies, DONE, I[:, I_BOUNCE]))
-        I = I.at[:, I_PTR].set(jnp.where(dies, n_bvh, I[:, I_PTR]))
+        I = I.at[:, I_PTR].set(jnp.where(dies, n_phase, I[:, I_PTR]))
         I = I.at[:, I_CUR].set(jnp.where(dies, -1, I[:, I_CUR]))
         return F, M, W, I, S
 
@@ -860,7 +1004,7 @@ def trace_batch_flat(scene: RenderScene, origin, direction, seed, *,
         F, M, W, I, S = parts["traversal_step"](F, M, W, I, S)
         F, M, W, I, S = parts["advance_instance"](F, M, W, I, S)
 
-        at_boundary = (I[:, I_PTR] >= n_bvh) & (I[:, I_BOUNCE] != DONE)
+        at_boundary = (I[:, I_PTR] >= n_phase) & (I[:, I_BOUNCE] != DONE)
         run_boundary = ((it % SHADE_EVERY) == 0) & jnp.any(at_boundary)
         F, M, W, I, S = jax.lax.cond(run_boundary, boundary,
                                      lambda *s: s, F, M, W, I, S)
@@ -877,7 +1021,7 @@ def render_persistent(scene: RenderScene, frames, *, width: int, height: int,
                       bounces: int, rays_per_pixel: int, skybox: bool,
                       row_start=0, rows: int | None = None,
                       lanes: int = 16384, unroll: int = 5,
-                      shade_every: int = 0,
+                      shade_every: int = 0, cohorts: int = 1,
                       normal_maps: bool = False, claim: str = "queue"):
     """Persistent-lanes whole-image render. Returns ((rows, width, 4) image,
     total traced segments). Pixel p maps to (x = p %% width,
@@ -894,13 +1038,28 @@ def render_persistent(scene: RenderScene, frames, *, width: int, height: int,
       no cursor, no rank cumsum, no argsort compaction; completed pixels
       write into a (B, K) bank with a masked select and one final
       transpose. Cheaper boundary, but load balance relies on averaging
-      path-length variance over the ~total/B pixels per lane."""
+      path-length variance over the ~total/B pixels per lane.
+
+    ``cohorts`` splits the lanes into that many independent sub-batches
+    whose traversal steps are interleaved inside one loop body: cohort
+    c+1's row gather has no data dependency on cohort c's, so XLA can
+    issue it while cohort c's slab/leaf arithmetic runs — breaking the
+    5-deep dependent-gather chain that stalls the single-batch schedule
+    (profiled ~2x below the op-sum, docs/PERF_NOTES.md). Pixel values are
+    unchanged (the work queue hands out the same pixel ids; seeds derive
+    from pixel ids). Queue claim + ungated boundary only."""
     rows = height if rows is None else rows
     total = rows * width
     rpp = max(rays_per_pixel, 1)
-    B = lanes
+    if cohorts > 1:
+        assert claim == "queue" and shade_every == 0, \
+            "cohorts>1 supports the default queue claim + ungated boundary"
+        assert lanes % cohorts == 0
+    B = lanes // cohorts
     parts = _make_parts(scene, B, bounces, skybox, normal_maps)
     n_bvh = parts["n_bvh"]  # 0 is fine: boundary-only loop (no traversal)
+    n_phase = parts["n_phase"]
+    has_trav = n_phase > 0  # any BVH (triangle or sphere) to traverse
 
     cam = scene.cam_to_world
     cam_origin = cam[:3, 3]
@@ -934,7 +1093,7 @@ def render_persistent(scene: RenderScene, frames, *, width: int, height: int,
     M0 = jnp.concatenate([jnp.ones((B, 6)), jnp.full((B, 1), INF),
                           jnp.zeros((B, 3))], axis=1)
     W0 = jnp.concatenate([jnp.full((B, 1), INF), jnp.zeros((B, 11))], axis=1)
-    I0 = _i0(B, jnp.zeros((B,), jnp.uint32), n_bvh, IDLE)
+    I0 = _i0(B, jnp.zeros((B,), jnp.uint32), n_phase, IDLE)
     I0 = I0.at[:, I_SAMPLE].set(jnp.full((B,), rpp - 1, jnp.int32))  # first boundary claims a pixel
     A0 = jnp.zeros((B, 4))                # per-pixel sample accumulator
     S0 = (jnp.zeros((B, parts["stack_depth"]), jnp.int32),) * 3
@@ -953,18 +1112,23 @@ def render_persistent(scene: RenderScene, frames, *, width: int, height: int,
         logv0 = jnp.zeros((B, K, 4), jnp.float32)
         logp0 = jnp.zeros((1,), jnp.int32)
     else:
-        # one (total+B, 5) payload buffer: rgba in 0:4, the PIXEL ID
-        # bitcast into col 4. A separate s32[16384] id gather profiled at
+        # one (5, total+B) payload buffer: rgba in rows 0:4, the PIXEL ID
+        # bitcast into row 4. A separate s32[16384] id gather profiled at
         # 116 us/iteration (scalar gathers pay full gather-row granularity
         # per element) vs ~26 us for a wide row gather — carrying the id
-        # inside the payload row makes compaction one take + one DUS.
-        logv0 = jnp.zeros((total + B, 5), jnp.float32)
+        # inside the payload makes compaction one take + one DUS. The
+        # buffer is TRANSPOSED (pixels on the MINOR axis): a (total+B, 5)
+        # layout pads its 5-wide minor dim to the 128-lane tile, so the
+        # per-iteration append paid a 25x-padded dynamic_update_slice
+        # (profiled 28 us/iter; lane-contiguous it vanishes into the
+        # boundary fusion).
+        logv0 = jnp.zeros((5, total + B), jnp.float32)
         logp0 = jnp.zeros((1,), jnp.int32)
     lane_ids = jnp.arange(B, dtype=jnp.int32)
     k_cols = jnp.arange(K, dtype=jnp.int32)[None, :, None]
 
     def boundary(F, M, W, I, S, A, logv, logp, cursor, wcursor):
-        at_b = (I[:, I_PTR] >= n_bvh) & (I[:, I_BOUNCE] != DONE)
+        at_b = (I[:, I_PTR] >= n_phase) & (I[:, I_BOUNCE] != DONE)
         o, d, trans, incoming, seed, continues_path = \
             parts["resolve_and_shade"](F, W, I, at_b)
         bounce = I[:, I_BOUNCE]
@@ -1002,12 +1166,12 @@ def render_persistent(scene: RenderScene, frames, *, width: int, height: int,
             # fused copies — that scrambled whole renders (pixel order is
             # the reassembly key). ids < 2^23 leave the mantissa intact.
             payload = jnp.concatenate(
-                [A / jnp.float32(rpp),
+                [(A / jnp.float32(rpp)).T,
                  jax.lax.bitcast_convert_type(
                      I[:, I_PIXEL] | jnp.int32(0x40000000),
-                     jnp.float32)[:, None]], axis=1)
-            pay_c = jnp.take(payload, perm, axis=0)
-            logv = jax.lax.dynamic_update_slice(logv, pay_c, (wcursor, 0))
+                     jnp.float32)[None, :]], axis=0)
+            pay_c = jnp.take(payload, perm, axis=1)
+            logv = jax.lax.dynamic_update_slice(logv, pay_c, (0, wcursor))
             wcursor = jnp.minimum(
                 wcursor + jnp.sum(valid_px.astype(jnp.int32)), total)
 
@@ -1048,25 +1212,38 @@ def render_persistent(scene: RenderScene, frames, *, width: int, height: int,
         I = I.at[:, I_SAMPLE].set(sample_i)
         retire = pixel_done & ~got_job
         I = I.at[:, I_BOUNCE].set(jnp.where(retire, DONE, I[:, I_BOUNCE]))
-        I = I.at[:, I_PTR].set(jnp.where(retire, n_bvh, I[:, I_PTR]))
+        I = I.at[:, I_PTR].set(jnp.where(retire, n_phase, I[:, I_PTR]))
         I = I.at[:, I_CUR].set(jnp.where(retire, -1, I[:, I_CUR]))
         return F, M, W, I, S, A, logv, logp, cursor, wcursor
 
     def cond(state):
-        it, F, M, W, I, S, A, logv, logp, cursor, wcursor = state
-        return jnp.any(I[:, I_BOUNCE] != DONE)
+        it, cohs, logv, logp, cursor, wcursor = state
+        live = [jnp.any(c[3][:, I_BOUNCE] != DONE) for c in cohs]
+        out = live[0]
+        for l in live[1:]:
+            out = out | l
+        return out
 
     def body(state):
-        it, F, M, W, I, S, A, logv, logp, cursor, wcursor = state
-        if n_bvh:
+        it, cohs, logv, logp, cursor, wcursor = state
+        cohs = list(cohs)
+        if has_trav:
             # fixed unrolled window: an adaptive (while_loop) window that
             # exits when most lanes finish their segment measured WORSE on
             # chip (4.66 vs 5.16 Mrays/s) - the un-unrollable inner loop
             # pays per-step loop overhead that exceeds the ~30% idle-slot
-            # savings it recovers
+            # savings it recovers. Cohorts interleave per STEP (A1 B1 A2
+            # B2 ...) so each cohort's next gather overlaps the others'
+            # arithmetic.
             for _ in range(unroll):
-                F, M, W, I, S = parts["traversal_step"](F, M, W, I, S)
-            F, M, W, I, S = parts["advance_instance"](F, M, W, I, S)
+                for c in range(cohorts):
+                    F, M, W, I, S, A = cohs[c]
+                    F, M, W, I, S = parts["traversal_step"](F, M, W, I, S)
+                    cohs[c] = (F, M, W, I, S, A)
+            for c in range(cohorts):
+                F, M, W, I, S, A = cohs[c]
+                F, M, W, I, S = parts["advance_instance"](F, M, W, I, S)
+                cohs[c] = (F, M, W, I, S, A)
             if shade_every == 0:
                 # UNGATED: the boundary runs inline every iteration. The
                 # lax.cond is a scheduling barrier — inlining lets XLA
@@ -1075,36 +1252,49 @@ def render_persistent(scene: RenderScene, frames, *, width: int, height: int,
                 # updates are masked, so a no-lane boundary is a no-op
                 # (the log append writes garbage PAST wcursor, which later
                 # valid appends overwrite before wcursor reaches it).
-                F, M, W, I, S, A, logv, logp, cursor, wcursor = boundary(
-                    F, M, W, I, S, A, logv, logp, cursor, wcursor)
+                # Cohort boundaries serialize only on the shared
+                # cursor/log tail — the heavy resolve/shade gathers stay
+                # independent across cohorts.
+                for c in range(cohorts):
+                    F, M, W, I, S, A = cohs[c]
+                    F, M, W, I, S, A, logv, logp, cursor, wcursor = boundary(
+                        F, M, W, I, S, A, logv, logp, cursor, wcursor)
+                    cohs[c] = (F, M, W, I, S, A)
             else:
-                at_boundary = (I[:, I_PTR] >= n_bvh) \
+                F, M, W, I, S, A = cohs[0]
+                at_boundary = (I[:, I_PTR] >= n_phase) \
                     & (I[:, I_BOUNCE] != DONE)
                 run_boundary = ((it % shade_every) == 0) \
                     & jnp.any(at_boundary)
                 F, M, W, I, S, A, logv, logp, cursor, wcursor = jax.lax.cond(
                     run_boundary, boundary, lambda *s: s,
                     F, M, W, I, S, A, logv, logp, cursor, wcursor)
+                cohs[0] = (F, M, W, I, S, A)
         else:
             # no BVH instances: every iteration is a boundary (prepass is
             # the whole intersection work)
-            F, M, W, I, S, A, logv, logp, cursor, wcursor = boundary(
-                F, M, W, I, S, A, logv, logp, cursor, wcursor)
-        return it + 1, F, M, W, I, S, A, logv, logp, cursor, wcursor
+            for c in range(cohorts):
+                F, M, W, I, S, A = cohs[c]
+                F, M, W, I, S, A, logv, logp, cursor, wcursor = boundary(
+                    F, M, W, I, S, A, logv, logp, cursor, wcursor)
+                cohs[c] = (F, M, W, I, S, A)
+        return it + 1, tuple(cohs), logv, logp, cursor, wcursor
 
-    state = (jnp.int32(0), F0, M0, W0, I0, S0, A0, logv0, logp0,
+    coh0 = tuple((F0, M0, W0, I0, S0, A0) for _ in range(cohorts))
+    state = (jnp.int32(0), coh0, logv0, logp0,
              jnp.int32(0), jnp.int32(0))
-    _, F, M, W, I, _S, A, logv, logp, cursor, wcursor = \
+    _, cohs, logv, logp, cursor, wcursor = \
         jax.lax.while_loop(cond, body, state)
-    segments = jnp.sum(I[:, I_SEGS].astype(jnp.float32))
+    segments = sum(jnp.sum(c[3][:, I_SEGS].astype(jnp.float32))
+                   for c in cohs)
     if striped:
         # bank[L, k] holds pixel k*B + L: one transpose reassembles
         out = logv.transpose(1, 0, 2).reshape(K * B, 4)[:total]
     else:
-        # reassemble: log pixel ids (payload col 4) are a permutation of
+        # reassemble: log pixel ids (payload row 4) are a permutation of
         # [0, total)
-        pix = jax.lax.bitcast_convert_type(logv[:total, 4], jnp.int32) \
+        pix = jax.lax.bitcast_convert_type(logv[4, :total], jnp.int32) \
             & jnp.int32(0x3FFFFFFF)
         order = jnp.argsort(pix)
-        out = jnp.take(logv[:total, :4], order, axis=0)
+        out = jnp.take(logv[:4, :total], order, axis=1).T
     return out.reshape(rows, width, 4), segments

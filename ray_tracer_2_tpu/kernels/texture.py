@@ -4,14 +4,16 @@ TPUs have no texture samplers — the reference's repeat-addressed bilinear
 ``textureSampleLevel`` (ray_tracer.rs:197-205, ray_tracer.wgsl:455) becomes
 explicit wrap addressing + a 4-tap gather from the texel atlas.
 
-The atlas is stored as u8 RGBA words packed 128 texels per 512-byte row
-(assets/textures.py pack_texels_u8): narrow 16-byte (X, 4) rows gathered
-at barely half the rate and the f32 atlas sat 4x deeper past the ~8 MB
-gather cliff (sponza: 168 -> 42 MB; measured 1129 -> 624 us per 4-tap
-bilinear at B=16k, scripts/probe_texels.py). The per-lane column extract
-is a one-hot multiply + lane reduction done on exact 16-bit halves (u32
-payloads don't fit f32), and the u8 unpack is integer shifts — both ride
-under the gather latency.
+The atlas is stored as u8 RGBA words packed as (y, y+1) PAIRS, 64 texel
+columns per 512-byte row (assets/textures.py pack_texels_u8_pairs): a
+bilinear tap fetches (x, y0) and its wrapped y-neighbor with ONE gather,
+so the 4 gathers of a flat layout become 2 — the tap gathers were
+sponza's dominant boundary cost (4 x ~25 us, docs/PERF_NOTES.md). The
+earlier flat u8 layout already beat the naive (X, 4) f32 one 1129 ->
+624 us per bilinear at B=16k (scripts/probe_texels.py). The per-lane
+column extract is a one-hot multiply + lane reduction done on exact
+16-bit halves (u32 payloads don't fit f32), and the u8 unpack is integer
+shifts — both ride under the gather latency.
 """
 from __future__ import annotations
 
@@ -37,13 +39,42 @@ def _tap(texels, flat_idx):
                      axis=1) / 255.0
 
 
-def sample_bilinear(texels, tex_meta, slot, uv):
-    """Bilinear sample with repeat wrap.
+def _unpack_rgba(w):
+    return jnp.stack([(w & 0xFF).astype(jnp.float32),
+                      ((w >> 8) & 0xFF).astype(jnp.float32),
+                      ((w >> 16) & 0xFF).astype(jnp.float32),
+                      ((w >> 24) & 0xFF).astype(jnp.float32)],
+                     axis=1) / 255.0
 
-    texels: (R, 128) f32 packed u8 atlas rows (pack_texels_u8);
+
+def _tap_pair(texels, flat_idx):
+    """Fetch texel ``flat_idx`` AND its wrapped y-neighbor from the PAIRED
+    atlas (pack_texels_u8_pairs) with ONE row gather -> two (B, 4) f32."""
+    from ray_tracer_2_tpu.kernels.gatherlib import fetch_rows
+
+    row = fetch_rows(texels, jax.lax.shift_right_logical(flat_idx, 6))
+    u = jax.lax.bitcast_convert_type(row, jnp.uint32)
+    lane = jnp.arange(64, dtype=jnp.int32)[None, :]
+    oh = (lane == (flat_idx & 63)[:, None]).astype(jnp.float32)
+    # 16-bit halves are exact in f32; the one-hot sum is an exact select
+    lo0 = jnp.sum((u[:, :64] & 0xFFFF).astype(jnp.float32) * oh, axis=1)
+    hi0 = jnp.sum((u[:, :64] >> 16).astype(jnp.float32) * oh, axis=1)
+    lo1 = jnp.sum((u[:, 64:] & 0xFFFF).astype(jnp.float32) * oh, axis=1)
+    hi1 = jnp.sum((u[:, 64:] >> 16).astype(jnp.float32) * oh, axis=1)
+    w0 = lo0.astype(jnp.uint32) | (hi0.astype(jnp.uint32) << 16)
+    w1 = lo1.astype(jnp.uint32) | (hi1.astype(jnp.uint32) << 16)
+    return _unpack_rgba(w0), _unpack_rgba(w1)
+
+
+def sample_bilinear(texels, tex_meta, slot, uv):
+    """Bilinear sample with repeat wrap — TWO row gathers, not four.
+
+    texels: (R, 128) f32 PAIRED u8 atlas rows (pack_texels_u8_pairs: col
+    t & 63 is texel t, col 64 + (t & 63) is its wrapped y+1 neighbor);
     tex_meta: (64, 4) [offset, h, w, pad] rows (one gather resolves all
     slot metadata); slot: (B,) int32 (clamped to >= 0 by the caller's
-    mask); uv: (B, 2). Returns (B, 4)."""
+    mask); uv: (B, 2). Returns (B, 4). Output is bit-equal to the flat
+    4-tap layout (same u8 words, same blend arithmetic)."""
     from ray_tracer_2_tpu.kernels.gatherlib import fetch_rows
 
     slot = jnp.maximum(slot, 0)
@@ -68,12 +99,10 @@ def sample_bilinear(texels, tex_meta, slot, uv):
         return jnp.mod(i.astype(jnp.int32), n)
 
     x0w, x1w = wrap(x0, w), wrap(x0 + 1, w)
-    y0w, y1w = wrap(y0, h), wrap(y0 + 1, h)
+    y0w = wrap(y0, h)
 
-    c00 = _tap(texels, off + y0w * w + x0w)
-    c01 = _tap(texels, off + y0w * w + x1w)
-    c10 = _tap(texels, off + y1w * w + x0w)
-    c11 = _tap(texels, off + y1w * w + x1w)
+    c00, c10 = _tap_pair(texels, off + y0w * w + x0w)
+    c01, c11 = _tap_pair(texels, off + y0w * w + x1w)
     top = c00 * (1.0 - tx) + c01 * tx
     bot = c10 * (1.0 - tx) + c11 * tx
     return top * (1.0 - ty) + bot * ty

@@ -27,7 +27,7 @@ import numpy as np
 
 from ray_tracer_2_tpu.accel.bvh import BVH, BVHQuality, build_bvh
 from ray_tracer_2_tpu.assets.textures import TextureAtlas, \
-    pack_texels_u8
+    pack_texels_u8_pairs
 from ray_tracer_2_tpu.scene.camera import Camera
 from ray_tracer_2_tpu.scene.definition import (
     MeshData, MeshFromData, MeshFromFile, SceneDefinition, SphereDef,
@@ -39,6 +39,21 @@ log = logging.getLogger(__name__)
 #: Leaf triangle chunk width — leaves are built with <= this many triangles so
 #: the traversal kernel intersects a whole leaf as one fixed-width vector op.
 LEAF_CHUNK = 8
+
+#: Sphere count above which the lit path traverses a sphere BVH instead of
+#: the dense every-sphere cross (kernels/megakernel.py). Below this the
+#: per-segment wide-row gathers cost more than the dense vector test.
+SPHERE_BVH_MIN = 64
+
+
+def _sphere_bvh_engaged(n_spheres: int) -> bool:
+    import os
+    mode = os.environ.get("RT2_SPHERE_BVH", "auto")
+    if mode == "0":
+        return False
+    if mode == "1":
+        return n_spheres > 8  # root must be an internal wide row
+    return n_spheres >= SPHERE_BVH_MIN
 
 
 def _shade_classes(records) -> tuple:
@@ -117,8 +132,10 @@ class RenderScene:
     materials: MaterialTable
 
     # Texture atlas (flat texel buffer + slot tables)
-    tex_texels: jax.Array        # (ceil(X/128), 128) f32 u8-RGBA packed rows
-                                 # (assets/textures.py pack_texels_u8)
+    tex_texels: jax.Array        # (ceil(X/64), 128) f32 u8-RGBA PAIRED rows
+                                 # (assets/textures.py pack_texels_u8_pairs:
+                                 # col t&63 = texel t, col 64+(t&63) = its
+                                 # wrapped y+1 neighbor -> 2 gathers/bilinear)
     tex_offset: jax.Array        # (64,) i32
     tex_h: jax.Array             # (64,) i32
     tex_w: jax.Array             # (64,) i32
@@ -144,6 +161,13 @@ class RenderScene:
     #: shades with id + delta (0 for canonical/unshared instances).
     inst_mat_deltas: tuple = dataclasses.field(metadata=dict(static=True),
                                                default=())
+    #: STATIC sphere-BVH root row id in ``wide_rows`` (-1 ⇒ disengaged: the
+    #: kernel tests every sphere densely per segment, like the reference's
+    #: linear loop, ray_tracer.wgsl:357-364). Engaged for sphere counts
+    #: where the dense cross dominates (SPHERE_BVH_MIN; RT2_SPHERE_BVH=0/1
+    #: forces off/on).
+    sphere_bvh_root: int = dataclasses.field(metadata=dict(static=True),
+                                             default=-1)
     #: STATIC material-class summary ("glass"/"texture"/"normal_map" subset):
     #: lets the shading kernel compile OUT whole branches a scene never takes
     #: (the dragon has no glass → no refract/Schlick/Beer-Lambert code at
@@ -220,7 +244,10 @@ class HostScene:
     # ------------------------------------------------------- live edits
 
     def edit_sphere(self, index: int, centre=None, radius=None) -> None:
-        """Move/resize a sphere (egui.rs:171-207)."""
+        """Move/resize a sphere (egui.rs:171-207). Scenes with an engaged
+        sphere BVH rebuild its wide-row tail (cheap host work; the table
+        shape may change, which recompiles — same cost class as any static
+        scene change)."""
         rs = self.render_scene
         if centre is not None:
             rs = dataclasses.replace(rs, sphere_pos=rs.sphere_pos.at[index].set(
@@ -229,6 +256,29 @@ class HostScene:
             rs = dataclasses.replace(
                 rs, sphere_radius=rs.sphere_radius.at[index].set(float(radius)))
         self.render_scene = rs
+        if rs.sphere_bvh_root >= 0:
+            self._rebuild_sphere_rows()
+
+    def _rebuild_sphere_rows(self) -> None:
+        """Re-derive the sphere-BVH tail of ``wide_rows`` from the current
+        sphere arrays (kernels/megakernel.py traverses it in world space)."""
+        from ray_tracer_2_tpu.accel.bvh import build_bvh_bounds
+        from ray_tracer_2_tpu.accel.wide import SPH_CHUNK, \
+            pack_sphere_wide_rows
+
+        rs = self.render_scene
+        root = rs.sphere_bvh_root
+        sp = np.asarray(rs.sphere_pos)
+        sr = np.asarray(rs.sphere_radius)
+        sbvh = build_bvh_bounds(sp - sr[:, None], sp + sr[:, None], sp,
+                                max_leaf=SPH_CHUNK)
+        o = sbvh.tri_order
+        rows, _n, d = pack_sphere_wide_rows(sbvh, sp[o], sr[o],
+                                            row_offset=root)
+        head = np.asarray(rs.wide_rows[:root])
+        self.render_scene = dataclasses.replace(
+            rs, wide_rows=jnp.asarray(np.concatenate([head, rows], axis=0)),
+            wide_depth=max(rs.wide_depth, d))
 
     def edit_material(self, mat_id: int, **fields) -> None:
         """Edit one entity's material (egui.rs:209-365). Changing ``flag``
@@ -306,9 +356,14 @@ class HostScene:
             return
         packed = np.concatenate(groups, axis=1).reshape(-1, ROW_WIDTH)
         wide = np.concatenate(wide_groups, axis=0)
+        rs = self.render_scene
+        if rs.sphere_bvh_root >= 0:
+            # sphere tail is cull-flag independent: carry it over verbatim
+            assert wide_cursor == rs.sphere_bvh_root
+            tail = np.asarray(rs.wide_rows[rs.sphere_bvh_root:])
+            wide = np.concatenate([wide, tail], axis=0)
         self.render_scene = dataclasses.replace(
-            self.render_scene, packed_rows=jnp.asarray(packed),
-            wide_rows=jnp.asarray(wide))
+            rs, packed_rows=jnp.asarray(packed), wide_rows=jnp.asarray(wide))
 
 
 def instantiate_scene(definition: SceneDefinition,
@@ -521,6 +576,28 @@ def instantiate_scene(definition: SceneDefinition,
         sphere_radius = np.zeros(0, np.float32)
         sphere_mat = np.zeros(0, np.int32)
 
+    # ---- sphere BVH (world space) — appended to the same wide table so
+    # the traversal loop's row gather stays one table ---------------------
+    sphere_bvh_root = -1
+    if _sphere_bvh_engaged(len(spheres)):
+        from ray_tracer_2_tpu.accel.bvh import build_bvh_bounds
+        from ray_tracer_2_tpu.accel.wide import SPH_CHUNK, \
+            pack_sphere_wide_rows
+        sp = sphere_pos
+        sr = sphere_radius
+        sbvh = build_bvh_bounds(sp - sr[:, None], sp + sr[:, None], sp,
+                                quality=quality, max_leaf=SPH_CHUNK)
+        o = sbvh.tri_order
+        srows, sn, sd = pack_sphere_wide_rows(sbvh, sp[o], sr[o],
+                                              row_offset=wide_cursor)
+        # leaf COL_SPH_ID must be the ORIGINAL id: pack gets leaf-ordered
+        # pos/radius, and bvh.tri_order maps leaf slot -> original id
+        wide_groups.append(srows)
+        sphere_bvh_root = wide_cursor
+        wide_cursor += sn
+        wide_depth = max(wide_depth, sd)
+        bvh_stats.append(sbvh.stats)
+
     # Packed octant rows: concat groups along the node axis, flatten octants.
     from ray_tracer_2_tpu.accel.packed import ROW_WIDTH, pack_attr_quads, \
         pack_tri_attributes
@@ -572,13 +649,15 @@ def instantiate_scene(definition: SceneDefinition,
         wide_rows=jnp.asarray(wide),
         wide_roots=tuple(int(r) for r in wide_root_list),
         wide_depth=int(wide_depth),
+        sphere_bvh_root=int(sphere_bvh_root),
         inst_mat_deltas=tuple(int(d) for d in inst_mat_delta),
         shade_classes=_shade_classes(records),
         tri_attr=jnp.asarray(tri_attr),
         mat_rows=jnp.asarray(mat_rows),
         tex_meta=jnp.asarray(tex_meta),
         materials=table,
-        tex_texels=jnp.asarray(pack_texels_u8(atlas.texels)),
+        tex_texels=jnp.asarray(pack_texels_u8_pairs(
+            atlas.texels, atlas.offsets, atlas.heights, atlas.widths)),
         tex_offset=jnp.asarray(atlas.offsets),
         tex_h=jnp.asarray(atlas.heights),
         tex_w=jnp.asarray(atlas.widths),

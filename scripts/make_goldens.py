@@ -32,6 +32,13 @@ GOLDENS = {
     "room": (scenes.room, dict(width=96, height=54, bounces=4, frames=8)),
     "cornell": (scenes.cornell_box, dict(width=96, height=54, bounces=4,
                                          frames=8)),
+    # wide-BVH traversal golden (the headline dragon path): 8712-tri
+    # dragon.obj -> _bvh_instances engages the 32-ary resume-stack kernel
+    "obj_test": (scenes.obj_test, dict(width=96, height=54, bounces=3,
+                                       frames=8)),
+    # sphere-BVH golden (accel/wide.py pack_sphere_wide_rows)
+    "random_balls": (scenes.random_balls, dict(width=96, height=54,
+                                               bounces=3, frames=4)),
 }
 
 OUT = Path(__file__).resolve().parents[1] / "tests" / "goldens"

@@ -17,7 +17,13 @@ from ray_tracer_2_tpu.scene.render_scene import instantiate_scene
 
 GOLDEN_DIR = Path(__file__).parent / "goldens"
 BUILDERS = {"metal": scenes.metal, "balls": scenes.balls,
-            "room": scenes.room, "cornell": scenes.cornell_box}
+            "room": scenes.room, "cornell": scenes.cornell_box,
+            # the two headline code paths the brute/sphere goldens miss:
+            # obj_test -> 32-ary wide-BVH megakernel traversal (dragon.obj),
+            # random_balls -> sphere-BVH phase (485 spheres, engaged by
+            # default above SPHERE_BVH_MIN)
+            "obj_test": scenes.obj_test,
+            "random_balls": scenes.random_balls}
 
 
 def rmse(a, b):
@@ -32,6 +38,9 @@ def test_golden(name, assets):
     if name == "cornell":
         from tests.conftest import require_asset
         require_asset(assets, "CornellBox-Original.obj")
+    if name == "obj_test":
+        from tests.conftest import require_asset
+        require_asset(assets, "dragon.obj")
     with np.load(path) as z:
         golden = z["framebuffer"]
         cfg = {k: int(z[k]) for k in ("width", "height", "bounces", "frames")}

@@ -71,6 +71,61 @@ def test_spp_sharded_converges(scene):
     assert tv(out) < tv(single)
 
 
+def test_row_sharded_wide_bvh_matches_single_device():
+    """The HEADLINE code path — 32-ary wide-BVH traversal in the persistent
+    megakernel (resume stacks, traced row_start seeding, completion-log
+    reassembly) — under shard_map: row-sharded must equal single-device on
+    a >1024-tri instance (the brute path compiles traversal out below that,
+    kernels/megakernel.py _bvh_instances)."""
+    from tests.test_oracle_mesh import bvh_mesh_scene
+    rs = bvh_mesh_scene.__wrapped__()
+    assert any(c > 1024 for _, _, c in rs.inst_spans), \
+        "fixture must exercise the wide-BVH path"
+
+    W, H = 32, 32
+    mesh = make_render_mesh()
+    fb0 = jnp.zeros((H, W, 4), jnp.float32)
+    single, _segs = render_frame(rs, fb0, jnp.int32(1), jnp.float32(1.0),
+                                 width=W, height=H, bounces=2,
+                                 rays_per_pixel=1, skybox=True, debug_mode=0,
+                                 tile_rows=4)
+    fb_sharded = shard_framebuffer(jnp.zeros((H, W, 4), jnp.float32), mesh)
+    sharded, segs = render_frame_sharded(replicate_scene(rs, mesh),
+                                         fb_sharded, 1, 1.0, mesh=mesh,
+                                         width=W, height=H, bounces=2,
+                                         rays_per_pixel=1, skybox=True,
+                                         tile_rows=4)
+    np.testing.assert_allclose(np.asarray(single), np.asarray(sharded),
+                               atol=1e-6, rtol=1e-6)
+    assert float(segs) == float(_segs)
+
+
+def test_row_sharded_sphere_bvh_matches_single_device(monkeypatch):
+    """Sphere-BVH phase (accel/wide.py pack_sphere_wide_rows) under
+    shard_map: forced engagement on the metal scene's spheres... requires
+    > 8 spheres, so uses random_balls at small size."""
+    monkeypatch.setenv("RT2_SPHERE_BVH", "1")
+    rs = instantiate_scene(scenes.random_balls()).render_scene
+    assert rs.sphere_bvh_root >= 0
+
+    W, H = 32, 16
+    mesh = make_render_mesh()
+    fb0 = jnp.zeros((H, W, 4), jnp.float32)
+    single, _segs = render_frame(rs, fb0, jnp.int32(1), jnp.float32(1.0),
+                                 width=W, height=H, bounces=2,
+                                 rays_per_pixel=1, skybox=True, debug_mode=0,
+                                 tile_rows=4)
+    fb_sharded = shard_framebuffer(jnp.zeros((H, W, 4), jnp.float32), mesh)
+    sharded, segs = render_frame_sharded(replicate_scene(rs, mesh),
+                                         fb_sharded, 1, 1.0, mesh=mesh,
+                                         width=W, height=H, bounces=2,
+                                         rays_per_pixel=1, skybox=True,
+                                         tile_rows=4)
+    np.testing.assert_allclose(np.asarray(single), np.asarray(sharded),
+                               atol=1e-6, rtol=1e-6)
+    assert float(segs) == float(_segs)
+
+
 def test_uneven_mesh_subset(scene):
     """Sharding over a 4-device sub-mesh also works."""
     W, H = 16, 16
