@@ -304,9 +304,16 @@ def pack_sphere_wide_rows(bvh: BVH, pos, radius, row_offset: int):
     sphere ids so the kernel can fetch centre/material for the winner.
 
     The reference has no sphere acceleration at all — its kernel loops every
-    sphere per ray (ray_tracer.wgsl:357-364); the dense cross was measured as
-    random_balls' dominant boundary cost (484 spheres x 16k lanes/segment,
-    docs/PERF_NOTES.md round-3)."""
+    sphere per ray (ray_tracer.wgsl:357-364). MEASURED and kept as a KNOB
+    only (render_scene.SPHERE_BVH_MIN, RT2_SPHERE_BVH): on random_balls
+    (485 spheres) the BVH phase runs 23.3 Mrays/s vs 27.3 dense — the
+    ungated boundary makes extra traversal iterations cost more than the
+    dense (B, S) cross (docs/PERF_NOTES.md round-3). NOT bit-equal to the
+    dense path: the blocked (B, 8) quadratic and the dense (B, S) quadratic
+    compile to different FMA/re-association, and grazing hits (huge ground
+    sphere, disc near 0) amplify the ulp differences — ~0.6% of
+    random_balls pixels re-route (winner identity still matches the dense
+    tie rule whenever distances agree exactly)."""
     order = bvh.tri_order
     orig_ids = np.asarray(order, np.float32)  # leaf slot -> original id
     n = len(pos)

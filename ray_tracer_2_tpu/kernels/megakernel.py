@@ -395,14 +395,17 @@ def _make_parts(scene: RenderScene, B: int, bounces: int, skybox: bool,
             best_dst = jnp.where(better, m8, best_dst)
 
         if sph:
-            # ---- sphere leaf: blocked 8-sphere quadratic, arithmetic
-            # identical to the dense prepass (intersect.ray_sphere) so a
-            # sphere's dst/inside are bit-equal either route. Winner rule
-            # reproduces the dense path's argmin tie-break (lowest original
-            # id among equal distances) via a (dst, id) lexicographic
-            # compare, seeded with SPH_SENT so a sphere BEATS an
-            # equal-distance triangle/brute hit — the dense order evaluated
-            # spheres first and later phases compared strictly. ----
+            # ---- sphere leaf: blocked 8-sphere quadratic, same SOURCE
+            # arithmetic as the dense prepass (intersect.ray_sphere) but
+            # NOT bit-equal in practice: XLA fuses the (B, 8) blocked and
+            # (B, S) dense graphs with different FMA/re-association, and
+            # grazing hits (disc ~ 0 on the huge ground sphere) amplify
+            # the ulps — measured ~0.6% pixel re-routes on random_balls.
+            # Winner rule reproduces the dense path's argmin tie-break
+            # (lowest original id among equal distances) via a (dst, id)
+            # lexicographic compare, seeded with SPH_SENT so a sphere
+            # BEATS an equal-distance triangle/brute hit — the dense order
+            # evaluated spheres first and later phases compared strictly. ----
             sph_leaf = is_leaf if n_bvh == 0 else (is_leaf & sph_phase)
             cx = row[:, G:G+8]
             cy = row[:, G+8:G+16]

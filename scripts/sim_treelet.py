@@ -27,8 +27,25 @@ INF = np.float32(1.7014118e38)
 
 
 def build_scene():
+    """RenderScene + locally-packed octant rows. The 8-octant packed table
+    was dropped from the device pytree (debug path reads unpacked arrays
+    now), so this sim packs it on the fly from the host staging data — the
+    row semantics the simulator models are unchanged."""
     from bench import dragon_scene
-    return dragon_scene().render_scene
+    host = dragon_scene()
+    rs = host.render_scene
+    mat_flags = np.array([r.flag for r in host.records] or [0], np.int32)
+    groups = []
+    for (bvh, v0, v1, v2, mats, node_off, tri_off, deltas) in host._staging:
+        cull = np.ones(len(mats), np.float32)
+        for d in deltas:
+            cull *= (mat_flags[mats + d] != 1).astype(np.float32)
+        groups.append(pk.pack_octant_rows(bvh, v0, v1, v2, mats, cull,
+                                          node_offset=node_off,
+                                          tri_offset=tri_off))
+    packed = np.concatenate(groups, axis=1).reshape(-1, pk.ROW_WIDTH)
+    object.__setattr__(rs, "_sim_packed_rows", packed)
+    return rs
 
 
 def ray_dirs(scene, pixels, width=1920, height=1080):
@@ -51,7 +68,7 @@ def ray_dirs(scene, pixels, width=1920, height=1080):
 def trace_visits(scene, o, d, w2m):
     """Skip-link traversal per ray; returns (visit node-id sequences,
     hit info (dst, point-normal approx))."""
-    rows8 = np.asarray(scene.packed_rows, np.float32)
+    rows8 = np.asarray(scene._sim_packed_rows, np.float32)
     n_nodes = int(scene.node_count.shape[0])
     rows8 = rows8.reshape(8, n_nodes, pk.ROW_WIDTH)
 

@@ -18,10 +18,11 @@ from ray_tracer_2_tpu.scene.render_scene import instantiate_scene
 GOLDEN_DIR = Path(__file__).parent / "goldens"
 BUILDERS = {"metal": scenes.metal, "balls": scenes.balls,
             "room": scenes.room, "cornell": scenes.cornell_box,
-            # the two headline code paths the brute/sphere goldens miss:
             # obj_test -> 32-ary wide-BVH megakernel traversal (dragon.obj),
-            # random_balls -> sphere-BVH phase (485 spheres, engaged by
-            # default above SPHERE_BVH_MIN)
+            # the headline code path the brute/sphere goldens miss;
+            # random_balls -> the 485-sphere dense cross + glass at scale
+            # (the sphere BVH is a knob, off by default — render_scene.py
+            # SPHERE_BVH_MIN; its coverage lives in test_multidevice)
             "obj_test": scenes.obj_test,
             "random_balls": scenes.random_balls}
 

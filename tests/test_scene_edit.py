@@ -47,16 +47,19 @@ def test_glass_toggle_repacks_cull_flags(assets):
     require_asset(assets, "CornellBox-Original.obj")
     host = instantiate_scene(scenes.cornell_box())
     rs = host.render_scene
-    packed_before = np.asarray(rs.packed_rows)
+    wide_before = np.asarray(rs.wide_rows)
     # toggle some mesh material to glass: cull flags for its triangles flip
     mid = int(np.asarray(rs.tri_mat)[0])
     host.edit_material(mid, flag=1, ior=1.5)
-    packed_after = np.asarray(host.render_scene.packed_rows)
-    assert not np.array_equal(packed_before, packed_after)
-    # cull columns only
-    from ray_tracer_2_tpu.accel.packed import COL_CULLS
-    diff_cols = np.unique(np.nonzero(packed_before != packed_after)[1])
-    assert set(diff_cols.tolist()) <= set(range(COL_CULLS, COL_CULLS + 4))
+    wide_after = np.asarray(host.render_scene.wide_rows)
+    assert not np.array_equal(wide_before, wide_after)
+    # the wide leaf rows bake cull into the matcull low bit (accel/wide.py):
+    # only those columns may differ
+    from ray_tracer_2_tpu.accel.wide import COL_MATCULL
+    from ray_tracer_2_tpu.scene.render_scene import LEAF_CHUNK
+    diff_cols = np.unique(np.nonzero(wide_before != wide_after)[1])
+    assert set(diff_cols.tolist()) <= set(
+        range(COL_MATCULL, COL_MATCULL + LEAF_CHUNK))
 
 
 def test_instance_transform_edit():
