@@ -167,7 +167,9 @@ def main():
 
     for name, K, ml in (("w16", 16, 0), ("w32", 32, 0),
                         ("w16m16", 16, 16), ("w32m16", 32, 16),
-                        ("w32m12", 32, 12)):
+                        ("w32m12", 32, 12),
+                        ("w64", 64, 0), ("w64m16", 64, 16),
+                        ("w64m24", 64, 24)):
         for tag, (oo, dd) in (("primary", (o, d)), ("bounce", (bo, bd))):
             fi, fl, tt, au = visits(scene, oo, dd, w2m, K, ml)
             tot = fi + fl
