@@ -78,6 +78,11 @@ def main():
     ap.add_argument("--cohorts", type=int, default=None,
                     help="independent lane sub-batches whose traversal "
                          "steps interleave (kernels/megakernel.py)")
+    ap.add_argument("--boundaries", type=int, default=None,
+                    help="boundary phases chained per loop iteration "
+                         "(kernels/megakernel.py)")
+    ap.add_argument("--log-cap", type=int, default=None,
+                    help="completion-log append width cap per boundary")
     ap.add_argument("--mesh", type=int, default=0,
                     help="render row-sharded over an N-device mesh "
                          "(N > available devices is clamped; 0 = unsharded)")
@@ -107,7 +112,8 @@ def main():
         n_chips = 1
         renderer = Renderer(lanes=args.lanes, unroll=args.unroll,
                             shade_every=args.shade_every, claim=args.claim,
-                            cohorts=args.cohorts)
+                            cohorts=args.cohorts, boundaries=args.boundaries,
+                            log_cap=args.log_cap)
         for f in range(args.warmup):
             fb = renderer.render(host.render_scene,
                                  dataclasses.replace(p, frames=f))

@@ -31,7 +31,8 @@ DEFAULT_TILE_COLS = 256
          static_argnames=("width", "height", "bounces", "rays_per_pixel",
                           "skybox", "debug_mode", "tile_rows", "tile_cols",
                           "lanes", "unroll", "shade_every", "cohorts",
-                          "normal_maps", "pallas_spheres", "claim"))
+                          "normal_maps", "pallas_spheres", "claim",
+                          "boundaries", "log_cap"))
 def render_frame(scene: RenderScene, framebuffer: jax.Array, frames: jax.Array,
                  debug_scale: jax.Array, *, width: int, height: int,
                  bounces: int, rays_per_pixel: int, skybox: bool,
@@ -39,7 +40,8 @@ def render_frame(scene: RenderScene, framebuffer: jax.Array, frames: jax.Array,
                  lanes: int | None = None, unroll: int | None = None,
                  shade_every: int | None = None, cohorts: int | None = None,
                  normal_maps: bool = False,
-                 pallas_spheres: bool = False, claim: str | None = None):
+                 pallas_spheres: bool = False, claim: str | None = None,
+                 boundaries: int | None = None, log_cap: int | None = None):
     """Render + accumulate one frame. framebuffer: (height, width, 4) f32.
     Returns (new framebuffer, traced-segment count scalar)."""
     sample, segments = render_sample(
@@ -48,7 +50,8 @@ def render_frame(scene: RenderScene, framebuffer: jax.Array, frames: jax.Array,
         debug_mode=debug_mode, tile_rows=tile_rows, tile_cols=tile_cols,
         lanes=lanes, unroll=unroll, shade_every=shade_every,
         cohorts=cohorts, normal_maps=normal_maps,
-        pallas_spheres=pallas_spheres, claim=claim)
+        pallas_spheres=pallas_spheres, claim=claim, boundaries=boundaries,
+        log_cap=log_cap)
     # Progressive average (ray_tracer.wgsl:154-161): frames <= 0 ⇒ overwrite.
     weight = jnp.where(frames >= 1, 1.0 / (frames.astype(jnp.float32) + 1.0), 1.0)
     return framebuffer * (1.0 - weight) + sample * weight, segments
@@ -63,7 +66,8 @@ def render_sample(scene: RenderScene, frames, debug_scale, *, width: int,
                   shade_every: int | None = None, cohorts: int | None = None,
                   normal_maps: bool = False,
                   pallas_spheres: bool = False,
-                  claim: str | None = None) -> jax.Array:
+                  claim: str | None = None, boundaries: int | None = None,
+                  log_cap: int | None = None) -> jax.Array:
     """Radiance for ``rows`` rows starting at ``row_start`` (no accumulation),
     (rows, width, 4). ``row_start`` may be traced (multi-chip row blocks);
     ``width``/``height`` always describe the FULL image (camera uv space).
@@ -106,6 +110,10 @@ def render_sample(scene: RenderScene, frames, debug_scale, *, width: int,
             kw["cohorts"] = cohorts
         if claim is not None:
             kw["claim"] = claim
+        if boundaries is not None:
+            kw["boundaries"] = boundaries
+        if log_cap is not None:
+            kw["log_cap"] = log_cap
         return megakernel.render_persistent(
             scene, frames, width=width, height=height, bounces=bounces,
             rays_per_pixel=rays_per_pixel, skybox=skybox,
@@ -148,7 +156,8 @@ class Renderer:
                  tile_cols: int | None = DEFAULT_TILE_COLS,
                  lanes: int | None = None, unroll: int | None = None,
                  shade_every: int | None = None, cohorts: int | None = None,
-                 claim: str | None = None):
+                 claim: str | None = None, boundaries: int | None = None,
+                 log_cap: int | None = None):
         self.tile_rows = tile_rows
         self.tile_cols = tile_cols
         self.lanes = lanes
@@ -156,6 +165,8 @@ class Renderer:
         self.shade_every = shade_every
         self.cohorts = cohorts
         self.claim = claim
+        self.boundaries = boundaries
+        self.log_cap = log_cap
         self.framebuffer: jax.Array | None = None
         self.last_segments: jax.Array | None = None  # traced rays last frame
         self._fb_shape: tuple | None = None
@@ -203,7 +214,8 @@ class Renderer:
             tile_rows=self.tile_rows, tile_cols=self.tile_cols,
             lanes=self.lanes, unroll=self.unroll,
             shade_every=self.shade_every, cohorts=self.cohorts,
-            claim=self.claim,
+            claim=self.claim, boundaries=self.boundaries,
+            log_cap=self.log_cap,
             normal_maps=bool(getattr(params, "normal_maps", False)),
             pallas_spheres=self._use_pallas_spheres(scene, params),
         )

@@ -579,14 +579,23 @@ def _make_parts(scene: RenderScene, B: int, bounces: int, skybox: bool,
             d = F[:, 3:6]
             om_n = jnp.einsum("bij,bj->bi", w2m[:, :3, :3], o) + w2m[:, :3, 3]
             dm_n = normalize(jnp.einsum("bij,bj->bi", w2m[:, :3, :3], d))
+            # Seed the pruning limit from the best WORLD hit so far (prepass
+            # + earlier instances): same exact distance mapping + ulp slack
+            # as start_segments. Cuts the second instance's traversal on
+            # room2-class scenes wherever the first already found a closer
+            # hit.
+            m2w_n = m2w_for(new_ptr)
+            wv_n = jnp.einsum("bij,bj->bi", m2w_n[:, :3, :3], dm_n)
+            limit_e = W[:, 0] / jnp.sqrt(dot(wv_n, wv_n)) * (1.0 + 4e-6)
             M = jnp.where(entering[:, None], jnp.concatenate(
-                [om_n, dm_n, jnp.full((B, 1), INF), jnp.zeros((B, 3))],
+                [om_n, dm_n, limit_e[:, None], jnp.zeros((B, 3))],
                 axis=1), M)
             # inline root evaluation: entering lanes land directly on the
             # root's nearest hit child (or -1 on a whole-instance miss) with
             # the remaining hits pre-pushed — no root row gather
             cur_e, SB, SM, SD, sp_e, k_e = wide_enter(
-                root_row_for(new_ptr), om_n, dm_n, entering, SB, SM, SD)
+                root_row_for(new_ptr), om_n, dm_n, entering, SB, SM, SD,
+                limit=limit_e)
             I = I.at[:, I_CUR].set(jnp.where(entering, cur_e, I[:, I_CUR]))
             I = I.at[:, I_TRI].set(jnp.where(entering, -1, I[:, I_TRI]))
             I = I.at[:, I_SP].set(jnp.where(entering, sp_e, I[:, I_SP]))
@@ -883,11 +892,41 @@ def _make_parts(scene: RenderScene, B: int, bounces: int, skybox: bool,
         I = I.at[:, I_SEED].set(jax.lax.bitcast_convert_type(seed, jnp.int32))
         I = I.at[:, I_BOUNCE].set(jnp.where(starts, new_bounce, I[:, I_BOUNCE]))
         I = I.at[:, I_SEGS].add(starts.astype(jnp.int32))
+        # Dead-traversal FAST-FORWARD: when the inline root evaluation hits
+        # nothing (cur0 == -1 ⇒ nothing pushed either), the segment's whole
+        # BVH phase is already over — jump I_PTR straight to n_phase so the
+        # NEXT boundary can resolve this lane, instead of making it idle
+        # through a full traversal window + advance_instance first. On the
+        # dragon frame ~95% of segments never touch the tree (sky + ground-
+        # sphere prepass hits), so this doubles the boundary retire rate.
+        # Only exact for single-phase scenes: with a sphere phase after the
+        # tri phase (or >1 instance) the advance chain must still run.
+        ffwd = (n_bvh == 1 and not sph) or (n_bvh == 0 and sph)
         if n_bvh:
+            # Seed the traversal's model-space pruning limit from the
+            # prepass best WORLD distance: a model-space distance t_m maps
+            # to world distance t_m * |m2w . d_m| exactly (affine), so
+            # t_limit = w_best / |m2w . d_m|. A tri hit beyond the sphere/
+            # brute hit can never win the world-distance merge
+            # (advance_instance ``wd < W[:,0]`` is strict), so pruning at
+            # the exact limit is bit-exact — it culls whole traversals for
+            # ground-sphere rays (the fast-forward below then retires them
+            # at the next boundary) and tightens pop-time pruning for the
+            # rest.
+            m2w0 = scene.inst_model_to_world[bvh_ids[0]]
+            d_m0 = M_new[:, 3:6]
+            wv = d_m0 @ m2w0[:3, :3].T
+            # 1+4e-6 absorbs the few-ulp mismatch between this mapping and
+            # the merge's independent world_hp-norm recomputation, so a
+            # true winner a hair under the prepass distance is never pruned
+            limit0 = W_new[:, 0] / jnp.sqrt(dot(wv, wv)) * (1.0 + 4e-6)
+            M_new = M_new.at[:, 6].set(limit0)
+            M = jnp.where(sb, M_new, M)
             SB, SM, SD = S
             cur0, SB, SM, SD, sp0, k0 = wide_enter(
                 jnp.broadcast_to(root_rows[0], (B, 128)),
-                M_new[:, 0:3], M_new[:, 3:6], starts, SB, SM, SD)
+                M_new[:, 0:3], M_new[:, 3:6], starts, SB, SM, SD,
+                limit=limit0)
             S = (SB, SM, SD)
             I = I.at[:, I_CUR].set(jnp.where(starts, cur0, I[:, I_CUR]))
             I = I.at[:, I_SP].set(jnp.where(starts, sp0, I[:, I_SP]))
@@ -909,7 +948,11 @@ def _make_parts(scene: RenderScene, B: int, bounces: int, skybox: bool,
         else:
             I = I.at[:, I_CUR].set(jnp.where(starts, -1, I[:, I_CUR]))
             I = I.at[:, I_SP].set(jnp.where(starts, 0, I[:, I_SP]))
-        I = I.at[:, I_PTR].set(jnp.where(starts, 0, I[:, I_PTR]))
+        if ffwd:
+            ptr0 = jnp.where(cur0 < 0, n_phase, 0)
+        else:
+            ptr0 = 0
+        I = I.at[:, I_PTR].set(jnp.where(starts, ptr0, I[:, I_PTR]))
         I = I.at[:, I_TRI].set(jnp.where(
             starts, SPH_SENT if (sph and n_bvh == 0) else -1, I[:, I_TRI]))
         I = I.at[:, I_STRI].set(jnp.where(starts, seg_tri2, I[:, I_STRI]))
@@ -1025,7 +1068,9 @@ def render_persistent(scene: RenderScene, frames, *, width: int, height: int,
                       row_start=0, rows: int | None = None,
                       lanes: int = 16384, unroll: int = 5,
                       shade_every: int = 0, cohorts: int = 1,
-                      normal_maps: bool = False, claim: str = "queue"):
+                      normal_maps: bool = False, claim: str = "queue",
+                      boundaries: int = 1, log_cap: int | None = None,
+                      return_iters: bool = False):
     """Persistent-lanes whole-image render. Returns ((rows, width, 4) image,
     total traced segments). Pixel p maps to (x = p %% width,
     y = row_start + p // width); RNG streams and sample continuation are
@@ -1108,6 +1153,9 @@ def render_persistent(scene: RenderScene, frames, *, width: int, height: int,
     # exactly once, so log[:total] is a permutation of the frame and one
     # argsort+take at the end reassembles it (~17 ms vs ~200 ms).
     striped = claim == "striped"
+    if log_cap is None:
+        log_cap = B
+    log_cap = min(log_cap, B)
     K = -(-total // B)
     if striped:
         # per-lane pixel bank: lane L's k-th pixel (id k*B + L) lands in
@@ -1141,12 +1189,36 @@ def render_persistent(scene: RenderScene, frames, *, width: int, height: int,
         sample_end = at_b & ~continues
 
         # ---- sample end: bank the sample, maybe start the next one ----
-        A = jnp.where((sample_end & ~idle)[:, None], A + incoming, A)
         sample_i = I[:, I_SAMPLE]
         more_samples = sample_end & ~idle & (sample_i + 1 < rpp)
         pixel_done = sample_end & ~more_samples  # includes idle lanes
-
         valid_px = pixel_done & (I[:, I_PIXEL] >= 0)
+
+        if log_cap < B and not striped:
+            # LOG-WIDTH CAP: at most ``log_cap`` pixels append to the
+            # completion log per boundary, so the compaction take and the
+            # log dynamic-update-slice are (5, log_cap) instead of (5, B)
+            # — the per-row gather/DUS charge is the boundary's biggest
+            # fixed cost. Completions past the cap are DEFERRED: the lane
+            # is treated as not-at-boundary this round (every derived mask
+            # excludes it) and its resolve-mutated registers (o/d/trans/
+            # incoming/seed) are reverted to the carried state, so the
+            # next boundary's re-resolve replays bit-identically.
+            vcnt = _cumsum_i32(valid_px.astype(jnp.int32))
+            defer = valid_px & (vcnt > log_cap)
+            sample_end = sample_end & ~defer
+            pixel_done = pixel_done & ~defer
+            valid_px = valid_px & ~defer
+            dc = defer[:, None]
+            o = jnp.where(dc, F[:, 0:3], o)
+            d = jnp.where(dc, F[:, 3:6], d)
+            trans = jnp.where(dc, F[:, 6:10], trans)
+            incoming = jnp.where(dc, F[:, 10:14], incoming)
+            seed = jnp.where(
+                defer, jax.lax.bitcast_convert_type(I[:, I_SEED],
+                                                    jnp.uint32), seed)
+            continues = continues & ~defer
+        A = jnp.where((sample_end & ~idle)[:, None], A + incoming, A)
         if striped:
             # pixel complete → masked select into the lane's bank column
             k_cur = jnp.maximum(I[:, I_PIXEL], 0) // B
@@ -1173,12 +1245,14 @@ def render_persistent(scene: RenderScene, frames, *, width: int, height: int,
                  jax.lax.bitcast_convert_type(
                      I[:, I_PIXEL] | jnp.int32(0x40000000),
                      jnp.float32)[None, :]], axis=0)
-            pay_c = jnp.take(payload, perm, axis=1)
+            pay_c = jnp.take(payload, perm[:min(log_cap, B)], axis=1)
             logv = jax.lax.dynamic_update_slice(logv, pay_c, (0, wcursor))
             wcursor = jnp.minimum(
                 wcursor + jnp.sum(valid_px.astype(jnp.int32)), total)
 
-            # claim new pixels from the cursor
+            # claim new pixels from the cursor. (An argsort-inverse rank
+            # replacing this cumsum measured 194 vs 180 ms/frame on the
+            # dragon — the MXU cumsum overlaps the schedule better.)
             claiming = pixel_done
             rank = _cumsum_i32(claiming.astype(jnp.int32)) \
                 - claiming.astype(jnp.int32)
@@ -1258,11 +1332,22 @@ def render_persistent(scene: RenderScene, frames, *, width: int, height: int,
                 # Cohort boundaries serialize only on the shared
                 # cursor/log tail — the heavy resolve/shade gathers stay
                 # independent across cohorts.
-                for c in range(cohorts):
-                    F, M, W, I, S, A = cohs[c]
-                    F, M, W, I, S, A, logv, logp, cursor, wcursor = boundary(
-                        F, M, W, I, S, A, logv, logp, cursor, wcursor)
-                    cohs[c] = (F, M, W, I, S, A)
+                #
+                # ``boundaries`` > 1 chains EXTRA boundary phases back to
+                # back: the dead-traversal fast-forward in start_segments
+                # leaves a freshly claimed lane whose segment never enters
+                # the tree (sky, or a prepass sphere/brute hit) already at
+                # I_PTR == n_phase, so the NEXT boundary in the chain can
+                # resolve it and claim again. On scenes where most segments
+                # skip traversal (dragon: ~87%) this multiplies pixel
+                # throughput per iteration without adding traversal windows.
+                for _ in range(boundaries):
+                    for c in range(cohorts):
+                        F, M, W, I, S, A = cohs[c]
+                        F, M, W, I, S, A, logv, logp, cursor, wcursor = \
+                            boundary(F, M, W, I, S, A, logv, logp, cursor,
+                                     wcursor)
+                        cohs[c] = (F, M, W, I, S, A)
             else:
                 F, M, W, I, S, A = cohs[0]
                 at_boundary = (I[:, I_PTR] >= n_phase) \
@@ -1286,7 +1371,7 @@ def render_persistent(scene: RenderScene, frames, *, width: int, height: int,
     coh0 = tuple((F0, M0, W0, I0, S0, A0) for _ in range(cohorts))
     state = (jnp.int32(0), coh0, logv0, logp0,
              jnp.int32(0), jnp.int32(0))
-    _, cohs, logv, logp, cursor, wcursor = \
+    n_it, cohs, logv, logp, cursor, wcursor = \
         jax.lax.while_loop(cond, body, state)
     segments = sum(jnp.sum(c[3][:, I_SEGS].astype(jnp.float32))
                    for c in cohs)
@@ -1300,4 +1385,6 @@ def render_persistent(scene: RenderScene, frames, *, width: int, height: int,
             & jnp.int32(0x3FFFFFFF)
         order = jnp.argsort(pix)
         out = jnp.take(logv[:4, :total], order, axis=1).T
+    if return_iters:
+        return out.reshape(rows, width, 4), segments, n_it
     return out.reshape(rows, width, 4), segments
