@@ -54,3 +54,23 @@ def test_persistent_row_block(dragon_scene):
                                row_start=H // 2, rows=H // 2, lanes=128)
     np.testing.assert_allclose(np.asarray(full),
                                np.concatenate([top, bot], axis=0), atol=1e-5)
+
+
+@pytest.mark.parametrize("kw", [dict(boundaries=2),
+                                dict(boundaries=3, log_cap=64),
+                                dict(log_cap=32)])
+def test_boundary_chain_and_log_cap_bitexact(dragon_scene, kw):
+    """Chained boundary phases and the capped/deferred completion log must
+    be BIT-identical to the default single-boundary, uncapped path: pixel
+    values derive from pixel ids, deferral replays the boundary resolve
+    from unchanged lane state, and every pixel still logs exactly once."""
+    rs = dragon_scene
+    W, H = 32, 18
+    base, segs0 = render_persistent(rs, jnp.int32(2), width=W, height=H,
+                                    bounces=3, rays_per_pixel=1,
+                                    skybox=True, lanes=256)
+    got, segs1 = render_persistent(rs, jnp.int32(2), width=W, height=H,
+                                   bounces=3, rays_per_pixel=1,
+                                   skybox=True, lanes=256, **kw)
+    assert (np.asarray(base) == np.asarray(got)).all()
+    assert float(segs0) == float(segs1)
