@@ -34,6 +34,7 @@ from ray_tracer_2_tpu.config import DebugMode
 from ray_tracer_2_tpu.engine.engine import Engine
 from ray_tracer_2_tpu.engine.export import framebuffer_to_srgb
 from ray_tracer_2_tpu.scene.scenes import SceneName
+from ray_tracer_2_tpu.viewer.ws import upgrade as ws_upgrade
 
 log = logging.getLogger(__name__)
 
@@ -53,6 +54,7 @@ class ViewerServer:
         self._frame_cv = threading.Condition(self._lock)
         self._stop = threading.Event()
         self._moving_until = 0.0
+        self._input_ms = 0.0   # last WS input handling time (ms)
         self._httpd: ThreadingHTTPServer | None = None
 
     # ------------------------------------------------------- render loop
@@ -221,6 +223,7 @@ class ViewerServer:
                          diverge_strength=scene.camera.diverge_strength)
                     if scene else None),
             frame_id=self._frame_id,
+            input_ms=round(self._input_ms, 2),
         )
 
     def _entities(self, scene) -> dict:
@@ -307,6 +310,35 @@ class ViewerServer:
                 elif self.path.startswith("/state"):
                     self._send(200, json.dumps(viewer.state()).encode(),
                                "application/json")
+                elif self.path.startswith("/ws"):
+                    # WebSocket INPUT channel (viewer/ws.py): one persistent
+                    # connection replaces a POST round-trip per input event
+                    # — the browser analog of the reference's in-process
+                    # winit event queue (app.rs:172-272). {"ping": t}
+                    # messages echo {"pong": t} so the client can display
+                    # a measured input round-trip latency.
+                    sock = ws_upgrade(self)
+                    if sock is None:
+                        return
+                    try:
+                        while not viewer._stop.is_set():
+                            text = sock.recv_text()
+                            if text is None:
+                                break
+                            msg = json.loads(text)
+                            if "ping" in msg:
+                                sock.send_text(json.dumps(
+                                    {"pong": msg["ping"]}))
+                                continue
+                            t0 = time.perf_counter()
+                            viewer.handle_input(msg)
+                            viewer._input_ms = \
+                                (time.perf_counter() - t0) * 1e3
+                    except (ConnectionResetError, BrokenPipeError,
+                            ValueError):
+                        pass  # client went away / bad frame
+                    finally:
+                        sock.close()
                 else:
                     self._send(404, b"not found", "text/plain")
 
