@@ -1070,6 +1070,7 @@ def render_persistent(scene: RenderScene, frames, *, width: int, height: int,
                       shade_every: int = 0, cohorts: int = 1,
                       normal_maps: bool = False, claim: str = "queue",
                       boundaries: int = 1, log_cap: int | None = None,
+                      claim_shuffle: bool = True,
                       return_iters: bool = False):
     """Persistent-lanes whole-image render. Returns ((rows, width, 4) image,
     total traced segments). Pixel p maps to (x = p %% width,
@@ -1153,8 +1154,20 @@ def render_persistent(scene: RenderScene, frames, *, width: int, height: int,
     # exactly once, so log[:total] is a permutation of the frame and one
     # argsort+take at the end reassembles it (~17 ms vs ~200 ms).
     striped = claim == "striped"
+    # largest multiplier with overflow-free u32 products that is coprime
+    # to total (bijectivity of idx*A mod total); 1 = identity (no shuffle)
+    import math
+    claim_mul = max(1, min(1021, (2**32 - 1) // max(total, 1)))
+    while claim_mul > 1 and math.gcd(claim_mul, total) != 1:
+        claim_mul -= 1
+    if not claim_shuffle:
+        claim_mul = 1
     if log_cap is None:
-        log_cap = B
+        # default cap: ~half the lanes complete per boundary in the worst
+        # measured case (dragon ~7k/16k); 8192 halves the compaction take
+        # + log DUS width with deferral engaging only on rare bursts
+        # (dragon 18.9 -> 19.4, sponza 7.43 -> 7.64 Mrays/s)
+        log_cap = 8192
     log_cap = min(log_cap, B)
     K = -(-total // B)
     if striped:
@@ -1256,8 +1269,20 @@ def render_persistent(scene: RenderScene, frames, *, width: int, height: int,
             claiming = pixel_done
             rank = _cumsum_i32(claiming.astype(jnp.int32)) \
                 - claiming.astype(jnp.int32)
-            new_pixel = cursor + rank
-            got_job = claiming & (new_pixel < total)
+            new_idx = cursor + rank
+            got_job = claiming & (new_idx < total)
+            # CLAIM-ORDER SHUFFLE: scan-order claims hand out the heavy
+            # geometry's pixels in solid clusters (whole iterations with
+            # every lane traversing and zero retires, then sky stretches
+            # with idle traversal slots). Mapping the claim index through
+            # a fixed multiplicative bijection idx -> idx*A mod total
+            # spreads them uniformly, keeping retire rate AND traversal
+            # occupancy near their averages. Pure vector arithmetic (no
+            # gather); bit-exact — pixel values derive from pixel ids and
+            # the log reassembles by id. A <= 1023 keeps idx*A < 2^31.
+            new_pixel = (new_idx.astype(jnp.uint32) * jnp.uint32(claim_mul)
+                         % jnp.uint32(total)).astype(jnp.int32)
+            new_pixel = jnp.where(got_job, new_pixel, new_idx)
             cursor = cursor + jnp.sum(claiming.astype(jnp.int32))
             cursor = jnp.minimum(cursor, total)
 
