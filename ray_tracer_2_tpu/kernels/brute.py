@@ -56,11 +56,19 @@ def brute_force_intersect(scene: RenderScene, origin, direction,
         cull = (jnp.take(scene.materials.flag, mat) != 1)[None, :]
         hit, dst, u, v, det = ray_triangle(o, d, v0, v1, v2, cull)
         k = jnp.argmin(dst, axis=1)
-        dstk = jnp.take_along_axis(dst, k[:, None], axis=1)[:, 0]
+        # winner extraction via one-hot select + sum (exact: one nonzero
+        # term), NOT take_along_axis — a per-lane scalar gather lowers to
+        # ~177 us PER PICK at B=16k (profiled on sponza; half its frame
+        # was four of these), while the (B, T) one-hot ops are plain
+        # vector arithmetic. Same pattern as the sphere prepass
+        # (megakernel.py segment_prepass).
+        is_win = jnp.arange(v0.shape[1], dtype=jnp.int32)[None, :] \
+            == k[:, None]
+        dstk = jnp.sum(jnp.where(is_win, dst, 0.0), axis=1)
         better = dstk < best["dst"]
 
         def pick(m):
-            return jnp.take_along_axis(m, k[:, None], axis=1)[:, 0]
+            return jnp.sum(jnp.where(is_win, m, 0.0), axis=1)
 
         best = dict(
             dst=jnp.where(better, dstk, best["dst"]),
@@ -68,7 +76,9 @@ def brute_force_intersect(scene: RenderScene, origin, direction,
             u=jnp.where(better, pick(u), best["u"]),
             v=jnp.where(better, pick(v), best["v"]),
             det=jnp.where(better, pick(det), best["det"]),
-            mat=jnp.where(better, jnp.take(mat, k), best["mat"]),
+            mat=jnp.where(better,
+                          jnp.sum(jnp.where(is_win, mat[None, :], 0),
+                                  axis=1), best["mat"]),
         )
     stats = jnp.zeros((B, 2), jnp.int32).at[:, 1].set(tri_count)
     return dict(**best, stats=stats)
