@@ -162,7 +162,6 @@ def _make_parts(scene: RenderScene, B: int, bounces: int, skybox: bool,
     D = int(scene.wide_depth) + 2  # resume-stack depth (static)
     w2m_all = scene.inst_world_to_model
     m2w_all = scene.inst_model_to_world
-    bvh_raw_ids = jnp.asarray(bvh_ids, jnp.int32)
 
     def _sel4x4(table, ids, ptr):
         out = jnp.broadcast_to(table[ids[0]], (B, 4, 4))
@@ -565,7 +564,11 @@ def _make_parts(scene: RenderScene, B: int, bounces: int, skybox: bool,
         I = I.at[:, I_STRI].set(jnp.where(better, I[:, I_TRI], I[:, I_STRI]))
         I = I.at[:, I_SMAT].set(jnp.where(better, I[:, I_MAT] + delta_for(ptr),
                                           I[:, I_SMAT]))
-        raw = jnp.take(bvh_raw_ids, jnp.clip(ptr, 0, n_bvh - 1))
+        # static where-chain, not a take: a (B,)-indexed take is a per-lane
+        # scalar gather (~177 us at B=16k) even on a tiny table
+        raw = jnp.full((B,), bvh_ids[0], jnp.int32)
+        for j in range(1, n_bvh):
+            raw = jnp.where(ptr == j, jnp.int32(bvh_ids[j]), raw)
         I = I.at[:, I_FLAG].set(jnp.where(better, raw, I[:, I_FLAG]))
 
         new_ptr = jnp.where(at_end, ptr + 1, ptr)
