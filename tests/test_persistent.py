@@ -74,3 +74,19 @@ def test_boundary_chain_and_log_cap_bitexact(dragon_scene, kw):
                                    skybox=True, lanes=256, **kw)
     assert (np.asarray(base) == np.asarray(got)).all()
     assert float(segs0) == float(segs1)
+
+
+def test_striped_claim_matches_queue(dragon_scene):
+    """claim="striped" must produce the identical image: per-pixel values
+    derive from pixel ids, so the assignment scheme is invisible
+    (VERDICT r2 weak #6 — the knob is kept for measurement, so gate it)."""
+    rs = dragon_scene
+    W, H = 32, 18
+    q, segs_q = render_persistent(rs, jnp.int32(1), width=W, height=H,
+                                  bounces=3, rays_per_pixel=1, skybox=True,
+                                  lanes=256, claim="queue")
+    s, segs_s = render_persistent(rs, jnp.int32(1), width=W, height=H,
+                                  bounces=3, rays_per_pixel=1, skybox=True,
+                                  lanes=256, claim="striped")
+    assert (np.asarray(q) == np.asarray(s)).all()
+    assert float(segs_q) == float(segs_s)
