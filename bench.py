@@ -120,13 +120,17 @@ def main():
         fb.block_until_ready()
 
         t0 = time.perf_counter()
-        total_rays = 0.0
+        seg_counts = []
         for f in range(args.warmup, args.warmup + args.frames):
             renderer.render(host.render_scene,
                             dataclasses.replace(p, frames=f))
-            total_rays += float(renderer.last_segments)
+            # keep the DEVICE scalar; float() here would sync every frame
+            # (~tens of ms round-trip under the relay) and serialize the
+            # dispatch pipeline
+            seg_counts.append(renderer.last_segments)
         renderer.framebuffer.block_until_ready()
         dt = time.perf_counter() - t0
+        total_rays = sum(float(s) for s in seg_counts)
         mrays = total_rays / dt / 1e6
 
     out = {
@@ -233,13 +237,13 @@ def bench_sharded(host, p, args):
     fb.block_until_ready()
 
     t0 = time.perf_counter()
-    total_rays = 0.0
+    seg_counts = []
     for f in range(args.warmup, args.warmup + args.frames):
         fb, segs = step(fb, jnp.int32(f))
-        total_rays += float(segs)
+        seg_counts.append(segs)  # device scalar; float() would sync per frame
     fb.block_until_ready()
     dt = time.perf_counter() - t0
-    return n, total_rays / dt / 1e6
+    return n, sum(float(s) for s in seg_counts) / dt / 1e6
 
 
 if __name__ == "__main__":
