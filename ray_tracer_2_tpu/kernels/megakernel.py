@@ -1411,8 +1411,14 @@ def render_persistent(scene: RenderScene, frames, *, width: int, height: int,
         # [0, total)
         pix = jax.lax.bitcast_convert_type(logv[4, :total], jnp.int32) \
             & jnp.int32(0x3FFFFFFF)
-        order = jnp.argsort(pix)
-        out = jnp.take(logv[:4, :total], order, axis=1).T
+        # ONE multi-operand sort carries the rgba payload with the pixel
+        # keys — argsort + a (4, total) take measured 2.6 + 9 ms/frame at
+        # 1080p (the take runs on the HBM-resident log at ~4.5 ns/row);
+        # keys are a permutation, so stability is irrelevant
+        _, r_s, g_s, b_s, a_s = jax.lax.sort(
+            (pix, logv[0, :total], logv[1, :total], logv[2, :total],
+             logv[3, :total]), num_keys=1)
+        out = jnp.stack([r_s, g_s, b_s, a_s], axis=1)
     if return_iters:
         return out.reshape(rows, width, 4), segments, n_it
     return out.reshape(rows, width, 4), segments
