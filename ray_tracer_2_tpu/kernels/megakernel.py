@@ -37,6 +37,8 @@ tested bit-compatible.
 """
 from __future__ import annotations
 
+import math
+
 import jax
 import jax.numpy as jnp
 
@@ -589,7 +591,9 @@ def _make_parts(scene: RenderScene, B: int, bounces: int, skybox: bool,
             # hit.
             m2w_n = m2w_for(new_ptr)
             wv_n = jnp.einsum("bij,bj->bi", m2w_n[:, :3, :3], dm_n)
-            limit_e = W[:, 0] / jnp.sqrt(dot(wv_n, wv_n)) * (1.0 + 4e-6)
+            slack_e = 8e-6 * (1.0 + jnp.sqrt(dot(o, o)))
+            limit_e = (W[:, 0] * (1.0 + 4e-6) + slack_e) \
+                / jnp.sqrt(dot(wv_n, wv_n))
             M = jnp.where(entering[:, None], jnp.concatenate(
                 [om_n, dm_n, limit_e[:, None], jnp.zeros((B, 3))],
                 axis=1), M)
@@ -890,7 +894,9 @@ def _make_parts(scene: RenderScene, B: int, bounces: int, skybox: bool,
         W_new, M_new, seg_tri2, seg_mat2, seg_flag = segment_prepass(o, d)
         sb = starts[:, None]
         F = jnp.concatenate([o, d, trans, incoming], axis=1)
-        M = jnp.where(sb, M_new, M)
+        if not n_bvh and not sph:
+            # bvh/sph branches below write their own (limit-seeded) M
+            M = jnp.where(sb, M_new, M)
         W = jnp.where(sb, W_new, W)
         I = I.at[:, I_SEED].set(jax.lax.bitcast_convert_type(seed, jnp.int32))
         I = I.at[:, I_BOUNCE].set(jnp.where(starts, new_bounce, I[:, I_BOUNCE]))
@@ -919,10 +925,14 @@ def _make_parts(scene: RenderScene, B: int, bounces: int, skybox: bool,
             m2w0 = scene.inst_model_to_world[bvh_ids[0]]
             d_m0 = M_new[:, 3:6]
             wv = d_m0 @ m2w0[:3, :3].T
-            # 1+4e-6 absorbs the few-ulp mismatch between this mapping and
-            # the merge's independent world_hp-norm recomputation, so a
-            # true winner a hair under the prepass distance is never pruned
-            limit0 = W_new[:, 0] / jnp.sqrt(dot(wv, wv)) * (1.0 + 4e-6)
+            # Slack: the merge recomputes world_dst = |m2w(om + t dm) - o|,
+            # which carries the ADDITIVE round-trip error e = m2w(w2m(o))-o
+            # (~ulps of |o| + translation, independent of W) on top of
+            # relative ulps — so the safety margin needs an absolute floor
+            # scaled by the origin magnitude, not only a relative factor
+            slack0 = 8e-6 * (1.0 + jnp.sqrt(dot(o, o)))
+            limit0 = (W_new[:, 0] * (1.0 + 4e-6) + slack0) \
+                / jnp.sqrt(dot(wv, wv))
             M_new = M_new.at[:, 6].set(limit0)
             M = jnp.where(sb, M_new, M)
             SB, SM, SD = S
@@ -1107,6 +1117,9 @@ def render_persistent(scene: RenderScene, frames, *, width: int, height: int,
         assert claim == "queue" and shade_every == 0, \
             "cohorts>1 supports the default queue claim + ungated boundary"
         assert lanes % cohorts == 0
+    if boundaries > 1:
+        assert shade_every == 0 and claim == "queue", \
+            "boundaries>1 requires the ungated queue boundary"
     B = lanes // cohorts
     parts = _make_parts(scene, B, bounces, skybox, normal_maps)
     n_bvh = parts["n_bvh"]  # 0 is fine: boundary-only loop (no traversal)
@@ -1159,7 +1172,6 @@ def render_persistent(scene: RenderScene, frames, *, width: int, height: int,
     striped = claim == "striped"
     # largest multiplier with overflow-free u32 products that is coprime
     # to total (bijectivity of idx*A mod total); 1 = identity (no shuffle)
-    import math
     claim_mul = max(1, min(1021, (2**32 - 1) // max(total, 1)))
     while claim_mul > 1 and math.gcd(claim_mul, total) != 1:
         claim_mul -= 1
@@ -1261,7 +1273,7 @@ def render_persistent(scene: RenderScene, frames, *, width: int, height: int,
                  jax.lax.bitcast_convert_type(
                      I[:, I_PIXEL] | jnp.int32(0x40000000),
                      jnp.float32)[None, :]], axis=0)
-            pay_c = jnp.take(payload, perm[:min(log_cap, B)], axis=1)
+            pay_c = jnp.take(payload, perm[:log_cap], axis=1)
             logv = jax.lax.dynamic_update_slice(logv, pay_c, (0, wcursor))
             wcursor = jnp.minimum(
                 wcursor + jnp.sum(valid_px.astype(jnp.int32)), total)

@@ -254,6 +254,10 @@ class ViewerServer:
         viewer = self
 
         class Handler(BaseHTTPRequestHandler):
+            # RFC 6455 requires an HTTP/1.1 101 status line — the 1.0
+            # default makes every real browser reject the WS handshake
+            protocol_version = "HTTP/1.1"
+
             def log_message(self, *args):
                 pass
 
@@ -326,6 +330,8 @@ class ViewerServer:
                             if text is None:
                                 break
                             msg = json.loads(text)
+                            if not isinstance(msg, dict):
+                                continue
                             if "ping" in msg:
                                 sock.send_text(json.dumps(
                                     {"pong": msg["ping"]}))
@@ -334,11 +340,11 @@ class ViewerServer:
                             viewer.handle_input(msg)
                             viewer._input_ms = \
                                 (time.perf_counter() - t0) * 1e3
-                    except (ConnectionResetError, BrokenPipeError,
-                            ValueError):
+                    except (OSError, ValueError):
                         pass  # client went away / bad frame
                     finally:
                         sock.close()
+                        self.close_connection = True
                 else:
                     self._send(404, b"not found", "text/plain")
 

@@ -4,7 +4,7 @@
 set -u
 cd "$(dirname "$0")/.."
 : > /tmp/bench_all.log
-for sc in dragon sponza room2 random_balls cornell metal room; do
+for sc in dragon sponza room2 random_balls cornell metal room balls; do
   timeout 900 python bench.py --scene "$sc" --frames 10 2>/dev/null \
     | tail -1 >> /tmp/bench_all.log
 done
