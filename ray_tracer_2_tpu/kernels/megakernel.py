@@ -1102,6 +1102,10 @@ def render_persistent(scene: RenderScene, frames, *, width: int, height: int,
       transpose. Cheaper boundary, but load balance relies on averaging
       path-length variance over the ~total/B pixels per lane.
 
+    ``boundaries`` chains that many boundary phases per loop iteration
+    (traversal scenes only — on no-traversal scenes every iteration IS a
+    boundary already and the knob is a no-op).
+
     ``cohorts`` splits the lanes into that many independent sub-batches
     whose traversal steps are interleaved inside one loop body: cohort
     c+1's row gather has no data dependency on cohort c's, so XLA can
