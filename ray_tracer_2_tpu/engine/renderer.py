@@ -196,7 +196,8 @@ class Renderer:
         cached = self._psph_cache.get(key)
         if cached is None:
             from ray_tracer_2_tpu.kernels.pallas_spheres import eligible
-            cached = eligible(scene) and scene.n_spheres <= 128
+            cap = int(os.environ.get("RT2_PALLAS_SPHERE_CAP", "128"))
+            cached = eligible(scene) and scene.n_spheres <= cap
             self._psph_cache[key] = cached
         return cached
 

@@ -14,6 +14,23 @@ from ray_tracer_2_tpu.math.vec import cross, dot
 INF = jnp.float32(1.7014118e38)   # 0x1p+127 (ray_tracer.wgsl:132)
 EPSILON = jnp.float32(1e-5)       # ray_tracer.wgsl:131
 
+#: dense sphere passes (XLA megakernel prepass AND the Pallas whole-path
+#: kernel) switch to the shared-term restructure (ray_sphere_fast math) at
+#: this sphere count; below it the exact reference-order quadratic keeps
+#: small-scene goldens / cross-impl segment counts bit-stable.
+#: RT2_SPHERE_FAST=0 forces the exact path everywhere, =1 forces fast.
+SPHERE_FAST_MIN = 64
+
+
+def sphere_fast_min() -> int:
+    import os
+    v = os.environ.get("RT2_SPHERE_FAST", "")
+    if v == "0":
+        return 1 << 30
+    if v == "1":
+        return 0
+    return SPHERE_FAST_MIN
+
 
 def ray_sphere(origin, direction, centre, radius):
     """Quadratic sphere test (ray_tracer.wgsl:223-256).
@@ -34,6 +51,49 @@ def ray_sphere(origin, direction, centre, radius):
     dst_far = (-b + s) / (2.0 * a)
     is_inside = dst_near == 0.0
     hit = (disc >= 0.0) & (dst_far >= 0.001)
+    dst = jnp.where(is_inside, dst_far, dst_near)
+    return hit, jnp.where(hit, dst, INF), is_inside
+
+
+def ray_sphere_fast(origin, direction, centre, radius, ck=None):
+    """Dense (B, S) sphere cross with shared-term math — same decisions as
+    :func:`ray_sphere` (ray_tracer.wgsl:223-256) but restructured for the
+    VPU: no (B, S, 3) intermediates, no (B, S) divides.
+
+    Identities (h = -oc·d is b/-2, disc4 = disc/4, sq2 = s/2):
+      oc·d  = o·d - c_i·d          (two rank-1 broadcasts, 5 ops each)
+      |oc|² = |o|² - 2 o·c_i + K_i with K_i = |c_i|² - r_i² precomputed
+      dst   = (-oc·d ∓ sq2) / a    with 1/a hoisted to (B,) — one divide
+                                   per ray instead of two per (ray, sphere)
+
+    NOT bit-identical to ray_sphere: the expanded |oc|² reassociates, so
+    grazing hits can flip by ulps (same class of divergence as the sphere
+    BVH — gated by pixel-match tests, tests/test_sphere_fast.py). Engaged
+    above SPHERE_FAST_MIN spheres (kernels/megakernel.py).
+
+    origin/direction: (B, 3); centre: (S, 3); radius: (S,); ck: optional
+    precomputed K_i. Returns ((B, S) hit, dst, is_inside).
+    """
+    if ck is None:
+        ck = dot(centre, centre) - radius * radius           # (S,)
+    a = dot(direction, direction)                            # (B,)
+    od = dot(origin, direction)                              # (B,)
+    oo = dot(origin, origin)                                 # (B,)
+    cd = (direction[:, 0:1] * centre[None, :, 0]
+          + direction[:, 1:2] * centre[None, :, 1]
+          + direction[:, 2:3] * centre[None, :, 2])          # (B, S)
+    co = (origin[:, 0:1] * centre[None, :, 0]
+          + origin[:, 1:2] * centre[None, :, 1]
+          + origin[:, 2:3] * centre[None, :, 2])             # (B, S)
+    h = od[:, None] - cd                                     # oc·d
+    c = oo[:, None] - 2.0 * co + ck[None, :]                 # |oc|² - r²
+    disc4 = h * h - a[:, None] * c
+    sq2 = jnp.sqrt(jnp.maximum(disc4, 0.0))
+    inv_a = 1.0 / a
+    dst_near = jnp.maximum(0.0, (-h - sq2) * inv_a[:, None])
+    dst_far = (-h + sq2) * inv_a[:, None]
+    is_inside = dst_near == 0.0
+    hit = (disc4 >= 0.0) & (dst_far >= 0.001)
     dst = jnp.where(is_inside, dst_far, dst_near)
     return hit, jnp.where(hit, dst, INF), is_inside
 

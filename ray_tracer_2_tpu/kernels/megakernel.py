@@ -46,7 +46,8 @@ from ray_tracer_2_tpu import rng
 from ray_tracer_2_tpu.kernels.brute import BRUTE_MAX_TRIS, brute_force_intersect
 from ray_tracer_2_tpu.kernels.gatherlib import fetch_attr, fetch_rows
 from ray_tracer_2_tpu.kernels.intersect import INF, ray_sphere, \
-    ray_triangle, sphere_normal_uv
+    ray_sphere_fast, ray_triangle, sphere_normal_uv, \
+    sphere_fast_min as _sphere_fast_min
 from ray_tracer_2_tpu.kernels.texture import sample_bilinear
 from ray_tracer_2_tpu.math.vec import dot, lerp, normalize, reflect, refract
 from ray_tracer_2_tpu.scene.render_scene import LEAF_CHUNK, RenderScene
@@ -823,20 +824,60 @@ def _make_parts(scene: RenderScene, B: int, bounces: int, skybox: bool,
 
         if scene.n_spheres > 0 and not sph:
             S = scene.n_spheres
-            s_hit, s_dst, s_inside = ray_sphere(
-                o[:, None, :], d[:, None, :],
-                scene.sphere_pos[None, :, :], scene.sphere_radius[None, :])
-            sidx = jnp.argmin(s_dst, axis=1)
-            is_win = jnp.arange(S, dtype=jnp.int32)[None, :] == sidx[:, None]
-            sd = jnp.sum(jnp.where(is_win, s_dst, 0.0), axis=1)
-            inside = jnp.any(is_win & s_inside, axis=1)
-            won = jnp.any(is_win & s_hit, axis=1)
-            centre = jnp.dot(is_win.astype(jnp.float32), scene.sphere_pos,
+            if S >= _sphere_fast_min():
+                # shared-term restructure: no (B, S, 3) intermediates, no
+                # (B, S) divides (kernels/intersect.py ray_sphere_fast).
+                # Ulp-level reassociation vs ray_sphere — grazing-hit
+                # pixel re-routes only (tests/test_sphere_fast.py)
+                s_hit, s_dst, s_inside = ray_sphere_fast(
+                    o, d, scene.sphere_pos, scene.sphere_radius)
+                # LEAN winner extraction: the reference path below runs ~6
+                # masked (B, S) reductions; here the winner distance IS the
+                # min (dst==INF on miss ⇒ won == sd<INF), centre/radius/mat
+                # come from ONE exact one-hot matmul, and `inside` is
+                # recomputed (B,)-wide with the pass's exact op order (so
+                # the df/dn selection it reflects is bit-identical)
+                sidx = jnp.argmin(s_dst, axis=1)
+                sd = jnp.min(s_dst, axis=1)
+                won = sd < INF
+                is_winf = (jnp.arange(S, dtype=jnp.int32)[None, :]
+                           == sidx[:, None]).astype(jnp.float32)
+                tbl = jnp.concatenate(
+                    [scene.sphere_pos, scene.sphere_radius[:, None],
+                     scene.sphere_mat.astype(jnp.float32)[:, None]], axis=1)
+                fw = jnp.dot(is_winf, tbl,
                              precision=jax.lax.Precision.HIGHEST)
+                centre = fw[:, 0:3]
+                rad_w = fw[:, 3]
+                smat = fw[:, 4].astype(jnp.int32)
+                ck = dot(centre, centre) - rad_w * rad_w
+                a_r = dot(d, d)
+                h = dot(o, d) - (d[:, 0] * centre[:, 0]
+                                 + d[:, 1] * centre[:, 1]
+                                 + d[:, 2] * centre[:, 2])
+                cq = dot(o, o) - 2.0 * (o[:, 0] * centre[:, 0]
+                                        + o[:, 1] * centre[:, 1]
+                                        + o[:, 2] * centre[:, 2]) + ck
+                sq2 = jnp.sqrt(jnp.maximum(h * h - a_r * cq, 0.0))
+                inside = jnp.maximum(0.0, (-h - sq2) * (1.0 / a_r)) == 0.0
+            else:
+                s_hit, s_dst, s_inside = ray_sphere(
+                    o[:, None, :], d[:, None, :],
+                    scene.sphere_pos[None, :, :],
+                    scene.sphere_radius[None, :])
+                sidx = jnp.argmin(s_dst, axis=1)
+                is_win = jnp.arange(S, dtype=jnp.int32)[None, :] \
+                    == sidx[:, None]
+                sd = jnp.sum(jnp.where(is_win, s_dst, 0.0), axis=1)
+                inside = jnp.any(is_win & s_inside, axis=1)
+                won = jnp.any(is_win & s_hit, axis=1)
+                centre = jnp.dot(is_win.astype(jnp.float32),
+                                 scene.sphere_pos,
+                                 precision=jax.lax.Precision.HIGHEST)
+                smat = jnp.sum(jnp.where(is_win, scene.sphere_mat[None, :],
+                                         0), axis=1)
             hp = o + d * sd[:, None]
             sn, s_uv = sphere_normal_uv(hp, centre, inside)
-            smat = jnp.sum(jnp.where(is_win, scene.sphere_mat[None, :], 0),
-                           axis=1)
             better = won & (sd < seg_dst)
             seg_dst = jnp.where(better, sd, seg_dst)
             seg_tri2 = jnp.where(better, -2, seg_tri2)

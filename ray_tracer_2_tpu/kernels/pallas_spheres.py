@@ -152,6 +152,8 @@ def _make_kernel(S: int, S_pad: int, SCHUNK: int, T: int, T_pad: int,
     n_tchunks = T_pad // TCHUNK
     has_spheres = S > 0
     has_tris = T > 0
+    from ray_tracer_2_tpu.kernels.intersect import sphere_fast_min
+    fast = S >= sphere_fast_min()
     NF = _n_frows(T)
     C = S_pad + T_pad   # combined one-hot id space; id C = miss
     span = bounces + 1
@@ -226,19 +228,39 @@ def _make_kernel(S: int, S_pad: int, SCHUNK: int, T: int, T_pad: int,
                 rox, roy, roz = pick_row(ox), pick_row(oy), pick_row(oz)
                 rdx, rdy, rdz = pick_row(dx), pick_row(dy), pick_row(dz)
                 a = rdx * rdx + rdy * rdy + rdz * rdz
+                if fast:
+                    # shared-term hoists (intersect.ray_sphere_fast): one
+                    # divide per RAY ROW instead of two per (sphere, ray)
+                    inv_a = 1.0 / a
+                    oo = rox * rox + roy * roy + roz * roz
+                    od = rox * rdx + roy * rdy + roz * rdz
 
                 def chunk(k, c2):
                     bd, bi, bin_ = c2
                     blk = sph_ref[pl.ds(k * SCHUNK, SCHUNK), :]  # (128, 8)
                     px, py, pz = blk[:, 0:1], blk[:, 1:2], blk[:, 2:3]
-                    rad = blk[:, 3:4]
-                    ocx, ocy, ocz = rox - px, roy - py, roz - pz
-                    b = 2.0 * (ocx * rdx + ocy * rdy + ocz * rdz)
-                    cq = ocx * ocx + ocy * ocy + ocz * ocz - rad * rad
-                    disc = b * b - 4.0 * a * cq
-                    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-                    dn = jnp.maximum(0.0, (-b - sq) / (2.0 * a))
-                    df = (-b + sq) / (2.0 * a)
+                    if fast:
+                        # SAME formula + op order as ray_sphere_fast so the
+                        # Pallas/XLA paths keep near-bitwise agreement
+                        # (tests/test_pallas_spheres.py)
+                        kq = blk[:, 4:5]
+                        cd = px * rdx + py * rdy + pz * rdz
+                        co = px * rox + py * roy + pz * roz
+                        h = od - cd
+                        cq = oo - 2.0 * co + kq
+                        disc = h * h - a * cq
+                        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+                        dn = jnp.maximum(0.0, (-h - sq) * inv_a)
+                        df = (-h + sq) * inv_a
+                    else:
+                        rad = blk[:, 3:4]
+                        ocx, ocy, ocz = rox - px, roy - py, roz - pz
+                        b = 2.0 * (ocx * rdx + ocy * rdy + ocz * rdz)
+                        cq = ocx * ocx + ocy * ocy + ocz * ocz - rad * rad
+                        disc = b * b - 4.0 * a * cq
+                        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+                        dn = jnp.maximum(0.0, (-b - sq) / (2.0 * a))
+                        df = (-b + sq) / (2.0 * a)
                     inside = dn == 0.0
                     hit_s = (disc >= 0.0) & (df >= 0.001)
                     dstw = jnp.where(hit_s, jnp.where(inside, df, dn), INF)
@@ -580,7 +602,23 @@ def _make_kernel(S: int, S_pad: int, SCHUNK: int, T: int, T_pad: int,
              onec, onec, onec, onec,
              zeroc, zeroc, zeroc, zeroc,
              zeroc, zeroc, zeroc, zeroc, zeroc, zeroc], axis=0)
-        st, _seed = jax.lax.fori_loop(0, rpp * span, body, (st0, seed0))
+        def body_or_skip(i, c):
+            """Dead-block early-out: once every path in the block has
+            terminated (sky strips die after 1-2 bounces) the remaining
+            span iterations are pure masked no-ops — skip them on a scalar
+            branch. BIT-IDENTICAL: dead lanes never advance seed or state
+            (every write above is masked by alive_b), so skipping the
+            iteration is the same as running it. Restart iterations
+            (i % span == 0) must still run — they revive lanes for the
+            next sample."""
+            st, _ = c
+            alive_rows = st[14 * BLOCK_ROWS:15 * BLOCK_ROWS]
+            run = ((i % span) == 0) | (jnp.max(alive_rows) > 0.0)
+            return jax.lax.cond(run, lambda cc: body(i, cc),
+                                lambda cc: cc, c)
+
+        st, _seed = jax.lax.fori_loop(0, rpp * span, body_or_skip,
+                                      (st0, seed0))
         fin = [st[k * BLOCK_ROWS:(k + 1) * BLOCK_ROWS] for k in range(20)]
         inv = np.float32(1.0 / rpp)
         or_ref[0] = (fin[16] + fin[10]) * inv
@@ -607,6 +645,13 @@ def _pack_tables(scene: RenderScene):
     sph = sph.at[:, 0].set(1e30)  # dummy spheres can never be hit
     sph = sph.at[:S, 0:3].set(scene.sphere_pos)
     sph = sph.at[:S, 3].set(scene.sphere_radius)
+    # col 4: K = |c|² - r² for the shared-term pass (sphere_fast_min);
+    # EXACT op order of intersect.ray_sphere_fast's in-trace ck
+    # (jnp.sum reduction over 3 = ((xx+yy)+zz)) so XLA/Pallas agree
+    # bit-for-bit. Dummy rows overflow to inf → disc4 ends -inf/NaN →
+    # the hit gate rejects them (no finite sentinel needed).
+    p = sph[:, 0:3]
+    sph = sph.at[:, 4].set(jnp.sum(p * p, axis=1) - sph[:, 3] * sph[:, 3])
 
     mT = jnp.zeros((_n_frows(T), C), jnp.float32)
     if S:

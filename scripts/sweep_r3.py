@@ -1,0 +1,91 @@
+#!/usr/bin/env python
+"""Round-3 session-3 on-chip sweep: one process (one relay warmup), many
+configs. Prints one JSON line per config to stdout and /tmp/sweep_r3.log.
+
+Configs cover the session's levers:
+  - dragon / sponza / room2 baselines (regression check)
+  - random_balls: exact vs shared-term dense pass (RT2_SPHERE_FAST)
+  - random_balls via the Pallas whole-path kernel (RT2_PALLAS_SPHERE_CAP)
+  - small sphere scenes through Pallas (dead-block early-out effect)
+"""
+import dataclasses
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+
+def bench_one(scene_name, env=None, frames=8, warmup=2, width=1920,
+              height=1080, bounces=5):
+    import jax
+    from bench import named_scene
+    from ray_tracer_2_tpu.config import RenderParams
+    from ray_tracer_2_tpu.engine.renderer import Renderer
+
+    env = env or {}
+    saved = {k: os.environ.get(k) for k in env}
+    os.environ.update({k: str(v) for k, v in env.items()})
+    try:
+        jax.clear_caches()   # env knobs are read at trace time
+        host = named_scene(scene_name)
+        p = RenderParams(width=width, height=height, bounces=bounces,
+                         rays_per_pixel=1, skybox=True, frames=0)
+        r = Renderer()
+        for f in range(warmup):
+            fb = r.render(host.render_scene, dataclasses.replace(p, frames=f))
+        fb.block_until_ready()
+        t0 = time.perf_counter()
+        segc = []
+        for f in range(warmup, warmup + frames):
+            r.render(host.render_scene, dataclasses.replace(p, frames=f))
+            segc.append(r.last_segments)
+        r.framebuffer.block_until_ready()
+        dt = time.perf_counter() - t0
+        mrays = sum(float(s) for s in segc) / dt / 1e6
+        return round(mrays, 2)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
+
+
+CONFIGS = [
+    ("dragon", {}),
+    ("random_balls", {}),                              # fast dense (new)
+    ("random_balls", {"RT2_SPHERE_FAST": "0"}),        # exact dense (old)
+    ("random_balls", {"RT2_PALLAS_SPHERE_CAP": "512"}),  # Pallas whole-path
+    ("metal", {}),
+    ("balls", {}),
+    ("room", {}),
+    ("cornell", {}),
+    ("sponza", {}),
+    ("room2", {}),
+]
+
+
+def main():
+    names = sys.argv[1:]
+    out_path = "/tmp/sweep_r3.log"
+    with open(out_path, "a") as fh:
+        for scene, env in CONFIGS:
+            if names and scene not in names:
+                continue
+            try:
+                v = bench_one(scene, env)
+                rec = {"scene": scene, "env": env, "mrays": v}
+            except Exception as e:  # keep sweeping on one-config failure
+                rec = {"scene": scene, "env": env,
+                       "error": f"{type(e).__name__}: {e}"[:300]}
+            line = json.dumps(rec)
+            print(line, flush=True)
+            fh.write(line + "\n")
+            fh.flush()
+
+
+if __name__ == "__main__":
+    main()
