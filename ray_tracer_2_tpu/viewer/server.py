@@ -56,6 +56,9 @@ class ViewerServer:
         self._moving_until = 0.0
         self._input_ms = 0.0   # last WS input handling time (ms)
         self._httpd: ThreadingHTTPServer | None = None
+        self._selected: dict | None = None   # {"kind","index"} gizmo target
+        self._drag_ctx: dict | None = None   # depth plane + grab offset
+        self._aabb_cache: dict = {}          # (scene id, inst) -> (lo, hi)
 
     # ------------------------------------------------------- render loop
 
@@ -106,6 +109,15 @@ class ViewerServer:
         if edit is not None:
             self._edit_entity(edit)
 
+        pick = msg.get("pick")
+        if pick is not None:
+            self._pick(float(pick[0]), float(pick[1]))
+        drag = msg.get("drag")
+        if drag is not None:
+            self._drag(float(drag[0]), float(drag[1]))
+        if msg.get("drag_end"):
+            self._drag_ctx = None
+
     _MAT_FIELDS = ("color", "emission_color", "specular_color",
                    "emission_strength", "smoothness", "specular", "ior",
                    "flag", "absorption", "absorption_strength")
@@ -146,6 +158,129 @@ class ViewerServer:
                 for mid in scene.inst_material_ids[idx]:
                     scene.edit_material(mid, **mat_fields)
         self.engine.params = dataclasses.replace(self.engine.params, frames=-1)
+
+    # -------------------------------------------------- pick/drag gizmo
+
+    def _pixel_ray(self, u: float, v: float):
+        """World ray through DISPLAY-normalized (u, v) ∈ [0,1]² (origin
+        top-left, as the browser sees the streamed JPEG). The stream is the
+        framebuffer flipped vertically (engine/export.py), so display v
+        maps to framebuffer row (1-v)·(H-1); from there the mapping is the
+        kernel's own (kernels/trace.py camera_ray_basis, no DoF jitter)."""
+        eng = self.engine
+        scene = eng.scene_manager.scene
+        if scene is None:
+            return None, None
+        cu = scene.camera.to_uniform()
+        fx = u - 0.5
+        fy = (1.0 - v) - 0.5
+        local = np.array([fx * cu.view_params[0], fy * cu.view_params[1],
+                          cu.view_params[2]], np.float64)
+        m = np.asarray(cu.cam_to_world, np.float64)
+        origin = m[:3, 3]
+        d = m[:3, :3] @ local
+        return origin, d / np.linalg.norm(d)
+
+    def _inst_aabb(self, scene, i: int):
+        key = (id(scene), i)
+        box = self._aabb_cache.get(key)
+        if box is None:
+            rs = scene.render_scene
+            _, toff, cnt = rs.inst_spans[i]
+            sl = slice(toff, toff + cnt)
+            vs = np.concatenate([np.asarray(rs.tri_v0[sl]),
+                                 np.asarray(rs.tri_v1[sl]),
+                                 np.asarray(rs.tri_v2[sl])])
+            box = (vs.min(axis=0), vs.max(axis=0)) if len(vs) else None
+            self._aabb_cache[key] = box
+        return box
+
+    def _pick(self, u: float, v: float) -> None:
+        """Select the entity under the cursor (nearest sphere quadratic or
+        instance model-space AABB hit) and arm the drag plane: entity
+        translations track the cursor on the camera-forward plane through
+        the entity's position (the egui gizmo analog, egui.rs:156-365)."""
+        eng = self.engine
+        scene = eng.scene_manager.scene
+        origin, d = self._pixel_ray(u, v)
+        if origin is None:
+            return
+        best = (np.inf, None)
+        rs = scene.render_scene
+        pos = np.asarray(rs.sphere_pos, np.float64)
+        rad = np.asarray(rs.sphere_radius, np.float64)
+        for i in range(scene.n_spheres):
+            oc = origin - pos[i]
+            b = np.dot(oc, d)
+            disc = b * b - (np.dot(oc, oc) - rad[i] * rad[i])
+            if disc < 0:
+                continue
+            t = -b - np.sqrt(disc)
+            if t < 1e-3:
+                t = -b + np.sqrt(disc)
+            if 1e-3 < t < best[0]:
+                best = (t, dict(kind="sphere", index=i))
+        for i in range(scene.n_instances):
+            box = self._inst_aabb(scene, i)
+            if box is None:
+                continue
+            w2m = np.asarray(rs.inst_world_to_model[i], np.float64)
+            om = (w2m[:3, :3] @ origin) + w2m[:3, 3]
+            dm = w2m[:3, :3] @ d
+            dm /= np.linalg.norm(dm)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                t1 = (box[0] - om) / dm
+                t2 = (box[1] - om) / dm
+            tn = np.nanmax(np.minimum(t1, t2))
+            tf = np.nanmin(np.maximum(t1, t2))
+            if tf >= tn and tf > 0:
+                # entry distance back in world units (uniform direction map)
+                m2w = np.asarray(rs.inst_model_to_world[i], np.float64)
+                tw = max(tn, 0.0) * np.linalg.norm(m2w[:3, :3] @ dm)
+                if 1e-3 < tw < best[0]:
+                    best = (tw, dict(kind="instance", index=i))
+        self._selected = best[1]
+        self._drag_ctx = None
+        if best[1] is None:
+            return
+        ent_pos = self._entity_pos(scene, best[1])
+        fwd = np.asarray(scene.camera.to_uniform().cam_to_world,
+                         np.float64)[:3, 2]
+        depth = float(np.dot(ent_pos - origin, fwd))
+        t_hit = depth / float(np.dot(d, fwd))
+        self._drag_ctx = dict(depth=depth,
+                              offset=ent_pos - (origin + d * t_hit))
+
+    def _entity_pos(self, scene, sel) -> np.ndarray:
+        rs = scene.render_scene
+        if sel["kind"] == "sphere":
+            return np.asarray(rs.sphere_pos, np.float64)[sel["index"]]
+        return np.asarray(scene.inst_transforms[sel["index"]].pos, np.float64)
+
+    def _drag(self, u: float, v: float) -> None:
+        """Move the selected entity so it follows the cursor on the armed
+        camera-forward plane (constant view depth); resets accumulation via
+        the edit path."""
+        scene = self.engine.scene_manager.scene
+        if scene is None or self._selected is None or self._drag_ctx is None:
+            return
+        origin, d = self._pixel_ray(u, v)
+        fwd = np.asarray(scene.camera.to_uniform().cam_to_world,
+                         np.float64)[:3, 2]
+        denom = float(np.dot(d, fwd))
+        if abs(denom) < 1e-9:
+            return
+        t = self._drag_ctx["depth"] / denom
+        new_pos = origin + d * t + self._drag_ctx["offset"]
+        sel = self._selected
+        if sel["kind"] == "sphere":
+            scene.edit_sphere(sel["index"], centre=[float(x) for x in new_pos])
+        else:
+            scene.edit_instance_transform(sel["index"],
+                                          pos=[float(x) for x in new_pos])
+        self.engine.params = dataclasses.replace(self.engine.params,
+                                                 frames=-1)
+        self._moving_until = time.monotonic() + 0.15
 
     def _hotkey(self, key: str) -> None:
         eng = self.engine
@@ -224,6 +359,7 @@ class ViewerServer:
                     if scene else None),
             frame_id=self._frame_id,
             input_ms=round(self._input_ms, 2),
+            selected=self._selected,
         )
 
     def _entities(self, scene) -> dict:
