@@ -65,10 +65,27 @@ CONFIGS = [
     ("cornell", {}),
     ("sponza", {}),
     ("room2", {}),
+    ("texture_test", {}),
 ]
 
 
+def add_texture_test():
+    """texture_test isn't in bench.named_scene; register it for the sweep."""
+    import bench
+    from ray_tracer_2_tpu.scene import scenes
+    from ray_tracer_2_tpu.scene.render_scene import instantiate_scene
+    orig = bench.named_scene
+
+    def named_scene(name):
+        if name == "texture_test":
+            return instantiate_scene(scenes.texture_test())
+        return orig(name)
+
+    bench.named_scene = named_scene
+
+
 def main():
+    add_texture_test()
     names = sys.argv[1:]
     out_path = "/tmp/sweep_r3.log"
     with open(out_path, "a") as fh:
