@@ -90,3 +90,22 @@ def test_striped_claim_matches_queue(dragon_scene):
                                   lanes=256, claim="striped")
     assert (np.asarray(q) == np.asarray(s)).all()
     assert float(segs_q) == float(segs_s)
+
+
+@pytest.mark.parametrize("cohorts", [2, 4])
+def test_cohorts_bitexact(dragon_scene, cohorts):
+    """The lane-cohort interleaving knob (bench --cohorts; measured and
+    rejected as default, docs/PERF_NOTES.md) splits the lane batch into
+    independently-stepping cohorts sharing one pixel cursor and completion
+    log. Pixel values derive only from pixel ids, so any cohort count must
+    reproduce the single-batch image bit-for-bit."""
+    rs = dragon_scene
+    W, H = 32, 18
+    base, segs0 = render_persistent(rs, jnp.int32(2), width=W, height=H,
+                                    bounces=3, rays_per_pixel=1,
+                                    skybox=True, lanes=256)
+    got, segs1 = render_persistent(rs, jnp.int32(2), width=W, height=H,
+                                   bounces=3, rays_per_pixel=1,
+                                   skybox=True, lanes=256, cohorts=cohorts)
+    assert (np.asarray(base) == np.asarray(got)).all()
+    assert float(segs0) == float(segs1)
