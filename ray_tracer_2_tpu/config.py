@@ -55,6 +55,14 @@ class RenderParams:
     #: reference parity, on = tangent-frame perturbation from map_Disp
     #: textures (sponza ships 22 of them).
     normal_maps: bool = False
+    #: Adaptive motion degradation: instead of the reference's fixed half
+    #: resolution while moving (app.rs:58-73), pick the downscale from
+    #: MOTION_LADDER each frame so the moving-frame time tracks
+    #: ``motion_target_ms``. Off by default (reference parity). Scales are
+    #: quantized to the ladder so at most len(MOTION_LADDER) kernel shapes
+    #: ever compile.
+    adaptive_motion: bool = False
+    motion_target_ms: int = 33
 
     def update(self, is_moving: bool) -> tuple["RenderParams", bool]:
         """Advance the frame counter (app.rs:43-57). Returns
@@ -66,17 +74,51 @@ class RenderParams:
     def reset_frame(self) -> "RenderParams":
         return dataclasses.replace(self, frames=-1)
 
-    def for_render(self, is_moving: bool) -> "RenderParams":
+    def for_render(self, is_moving: bool,
+                   motion_scale: int = 2) -> "RenderParams":
         """Motion degradation (app.rs:58-73): while the camera moves, drop to
-        half of the CURRENT resolution (min-clamped so tiny sessions stay
-        renderable), 1 bounce, 1 ray/pixel for interactivity. The reference
-        halves relative to the session size, not the 1080p constant."""
+        1/``motion_scale`` of the CURRENT resolution (min-clamped so tiny
+        sessions stay renderable), 1 bounce, 1 ray/pixel for interactivity.
+        The reference always halves (relative to the session size, not the
+        1080p constant); ``motion_scale`` > 2 comes from the adaptive ladder
+        (pick_motion_scale) when ``adaptive_motion`` is on."""
         if not is_moving:
             return self
+        scale = max(int(motion_scale), 2)
         return dataclasses.replace(
             self,
             bounces=1,
             rays_per_pixel=1,
-            width=max(self.width // 2, 16),
-            height=max(self.height // 2, 16),
+            width=max(self.width // scale, 16),
+            height=max(self.height // scale, 16),
         )
+
+
+#: Allowed moving-frame downscales for adaptive motion degradation. A small
+#: fixed ladder bounds the number of distinct (W, H) kernel shapes XLA ever
+#: compiles (static shapes: each scale is its own executable).
+MOTION_LADDER = (2, 3, 4, 6, 8)
+
+
+def pick_motion_scale(last_scale: int, last_render_s: float | None,
+                      target_s: float) -> int:
+    """Choose the moving-frame downscale from MOTION_LADDER.
+
+    Prediction model: render time is pixel-bound at 1 bounce, so the time at
+    scale ``s`` extrapolates from the last measured moving frame as
+    ``last_render_s * (last_scale / s)**2``. Picks the finest scale whose
+    predicted time fits ``target_s``; refinement (stepping to a finer scale
+    than last time) additionally requires 20% headroom so borderline frames
+    don't oscillate between two shapes (and two cached executables).
+    """
+    if last_render_s is None or last_render_s <= 0.0:
+        return last_scale if last_scale in MOTION_LADDER else MOTION_LADDER[0]
+    best = MOTION_LADDER[-1]
+    for s in MOTION_LADDER:
+        if last_render_s * (last_scale / s) ** 2 <= target_s:
+            best = s
+            break
+    if best < last_scale \
+            and last_render_s * (last_scale / best) ** 2 > 0.8 * target_s:
+        best = last_scale
+    return best

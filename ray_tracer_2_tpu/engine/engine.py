@@ -15,7 +15,8 @@ import time
 
 import numpy as np
 
-from ray_tracer_2_tpu.config import RENDER_SIZE, DebugMode, RenderParams
+from ray_tracer_2_tpu.config import (RENDER_SIZE, DebugMode, RenderParams,
+                                     pick_motion_scale)
 from ray_tracer_2_tpu.engine.export import save_png
 from ray_tracer_2_tpu.engine.renderer import Renderer
 from ray_tracer_2_tpu.assets.manager import AssetManager
@@ -89,6 +90,9 @@ class Engine:
         self._pending_fb = None
         self._pending_t0 = 0.0
         self._timing_exact = True
+        self._motion_scale = 2          # adaptive-motion ladder state
+        self._last_move_scale: int | None = None
+        self._moved_last_frame = False
         if initial_scene is not None:
             if block_on_initial_scene:
                 self.scene_manager.load_blocking(initial_scene)
@@ -128,13 +132,28 @@ class Engine:
         if moved:
             scene.refresh_camera()
         self.params, _ = self.params.update(moved)
-        render_params = self.params.for_render(moved)
 
         # Async mode: settle the PREVIOUS frame first. Its device work must
         # finish before this dispatch reuses the donated framebuffer anyway,
         # so blocking here is free — and (now - previous t0) upper-bounds the
         # true device render time much tighter than the host loop dt did.
+        # (Settled before for_render so the adaptive ladder sees the
+        # previous moving frame's measured time.)
         self._settle_pending()
+
+        motion_scale = 2  # reference parity: fixed half res (app.rs:58-73)
+        if self.params.adaptive_motion:
+            if moved and self._moved_last_frame \
+                    and self._last_move_scale is not None:
+                self._motion_scale = pick_motion_scale(
+                    self._last_move_scale, self._last_render_s,
+                    self.params.motion_target_ms / 1000.0)
+            motion_scale = self._motion_scale
+        render_params = self.params.for_render(moved,
+                                               motion_scale=motion_scale)
+        self._moved_last_frame = moved
+        if moved:
+            self._last_move_scale = motion_scale
 
         t0 = time.perf_counter()
         fb = self.renderer.render(scene.render_scene, render_params)

@@ -306,6 +306,12 @@ class ViewerServer:
             eng.params = dataclasses.replace(p, **{name: int(value)}, frames=-1)
         elif name in ("skybox", "accumulate", "normal_maps"):
             eng.params = dataclasses.replace(p, **{name: bool(value)}, frames=-1)
+        elif name == "adaptive_motion":
+            # host-side policy knob: no accumulation reset needed
+            eng.params = dataclasses.replace(p, adaptive_motion=bool(value))
+        elif name == "motion_target_ms":
+            eng.params = dataclasses.replace(p,
+                                             motion_target_ms=int(value))
         elif name == "debug_mode":
             eng.params = dataclasses.replace(p, debug_mode=DebugMode(int(value)),
                                              frames=-1)
@@ -348,6 +354,8 @@ class ViewerServer:
                 rays_per_pixel=eng.params.rays_per_pixel,
                 skybox=eng.params.skybox, accumulate=eng.params.accumulate,
                 normal_maps=eng.params.normal_maps,
+                adaptive_motion=eng.params.adaptive_motion,
+                motion_target_ms=eng.params.motion_target_ms,
                 debug_mode=int(eng.params.debug_mode),
                 debug_scale=eng.params.debug_scale,
             ),
