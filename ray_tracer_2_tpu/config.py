@@ -55,6 +55,13 @@ class RenderParams:
     #: reference parity, on = tangent-frame perturbation from map_Disp
     #: textures (sponza ships 22 of them).
     normal_maps: bool = False
+    #: Sub-pixel anti-aliasing: jitter each sample's camera ray uniformly
+    #: over the pixel footprint (box filter). The reference has NO pixel
+    #: jitter at all (uv comes straight from the pixel index,
+    #: ray_tracer.wgsl:479) so geometry edges never converge past the pixel
+    #: grid. Off by default for reference parity; the flag adds two uniform
+    #: draws per sample, so RNG streams differ from the reference when on.
+    antialias: bool = False
     #: Adaptive motion degradation: instead of the reference's fixed half
     #: resolution while moving (app.rs:58-73), pick the downscale from
     #: MOTION_LADDER each frame so the moving-frame time tracks

@@ -1125,6 +1125,7 @@ def render_persistent(scene: RenderScene, frames, *, width: int, height: int,
                       normal_maps: bool = False, claim: str = "queue",
                       boundaries: int = 1, log_cap: int | None = None,
                       claim_shuffle: bool = True,
+                      antialias: bool = False,
                       return_iters: bool = False):
     """Persistent-lanes whole-image render. Returns ((rows, width, 4) image,
     total traced segments). Pixel p maps to (x = p %% width,
@@ -1189,6 +1190,14 @@ def render_persistent(scene: RenderScene, frames, *, width: int, height: int,
             jnp.full((B,), scene.view_params[2]),
         ], axis=1)
         fp = local_focus @ cam[:3, :3].T + cam[:3, 3]
+        if antialias:
+            # box-filter sub-pixel jitter (RenderParams.antialias); draw
+            # order matches trace.py sample_once exactly
+            ju, seed = rng.rand(seed)
+            jv, seed = rng.rand(seed)
+            du = (ju - 0.5) * scene.view_params[0] / max(width - 1, 1)
+            dv = (jv - 0.5) * scene.view_params[1] / max(height - 1, 1)
+            fp = fp + cam_right * du[:, None] + cam_up * dv[:, None]
         dj, seed = rng.rand_in_unit_disk(seed)
         dj = dj * scene.defocus_strength * inv_size_x
         o = cam_origin + cam_right * dj[:, :1] + cam_up * dj[:, 1:]

@@ -328,12 +328,18 @@ def camera_ray_basis(scene: RenderScene, x, y, width: int, height: int):
 
 def trace_pixels(scene: RenderScene, x, y, frames, *,
                  width: int, height: int, bounces: int,
-                 rays_per_pixel: int, skybox: bool):
+                 rays_per_pixel: int, skybox: bool,
+                 antialias: bool = False):
     """Full per-pixel sample — frag() (ray_tracer.wgsl:473-500).
 
     x, y: (B,) int32 pixel coordinates; frames: scalar int32 (RNG stream id).
     Returns ((B, 4) radiance averaged over rays_per_pixel,
              (B,) traced segment counts).
+
+    ``antialias`` adds a per-sample box-filter jitter over the pixel
+    footprint (two uniform draws BEFORE the defocus/diverge draws — the
+    megakernel path mirrors the order exactly, so both paths stay
+    draw-for-draw identical to each other with the flag on).
     """
     cam_origin, cam_right, cam_up, focus_point = camera_ray_basis(
         scene, x, y, width, height)
@@ -351,12 +357,19 @@ def trace_pixels(scene: RenderScene, x, y, frames, *,
 
     def sample_once(carry, _):
         seed, total, segs = carry
+        fp0 = focus_point
+        if antialias:
+            ju, seed = rng.rand(seed)
+            jv, seed = rng.rand(seed)
+            du = (ju - 0.5) * scene.view_params[0] / max(width - 1, 1)
+            dv = (jv - 0.5) * scene.view_params[1] / max(height - 1, 1)
+            fp0 = fp0 + cam_right * du[:, None] + cam_up * dv[:, None]
         dj, seed = rng.rand_in_unit_disk(seed)
         dj = dj * scene.defocus_strength * inv_size_x
         origin = cam_origin + cam_right * dj[:, :1] + cam_up * dj[:, 1:]
         vj, seed = rng.rand_in_unit_disk(seed)
         vj = vj * scene.diverge_strength * inv_size_x
-        fp = focus_point + cam_right * vj[:, :1] + cam_up * vj[:, 1:]
+        fp = fp0 + cam_right * vj[:, :1] + cam_up * vj[:, 1:]
         direction = normalize(fp - origin)
         light, seed, seg = tracer(scene, origin, direction, seed,
                                   bounces=bounces, skybox=skybox)
