@@ -63,6 +63,11 @@ def main(argv=None) -> int:
     ap.add_argument("--antialias", action="store_true",
                     help="sub-pixel box-filter jitter per sample (the "
                          "reference never jitters the pixel grid)")
+    ap.add_argument("--nee", action="store_true",
+                    help="next-event estimation: explicit light sampling "
+                         "at diffuse bounces (no-traversal scenes; "
+                         "order-of-magnitude variance cut on Cornell-class "
+                         "enclosed lights)")
     ap.add_argument("--debug-mode", type=int, default=0, choices=range(8),
                     help="0 lit, 1-7 debug channels (ray_tracer.wgsl:502-573)")
     ap.add_argument("-o", "--output", default="render.png")
@@ -98,7 +103,8 @@ def main(argv=None) -> int:
         width=args.width, height=args.height, bounces=args.bounces,
         rays_per_pixel=args.rpp, skybox=not args.no_skybox, frames=0,
         debug_mode=DebugMode(args.debug_mode),
-        normal_maps=args.normal_maps, antialias=args.antialias)
+        normal_maps=args.normal_maps, antialias=args.antialias,
+        nee=args.nee)
 
     t0 = time.perf_counter()
     host = instantiate_scene(builders[args.scene]())

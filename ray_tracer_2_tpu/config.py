@@ -55,6 +55,15 @@ class RenderParams:
     #: reference parity, on = tangent-frame perturbation from map_Disp
     #: textures (sponza ships 22 of them).
     normal_maps: bool = False
+    #: Next-event estimation: at every diffuse bounce, additionally sample
+    #: one point on an emissive primitive and add its direct contribution
+    #: through an explicit shadow query (surface emission on the following
+    #: BSDF hit is suppressed to stay unbiased). Collapses variance on
+    #: enclosed-light scenes (Cornell class) by an order of magnitude per
+    #: sample. Reference-divergent physics path — off by default. Engages
+    #: only on no-traversal scenes with a non-empty RenderScene.lights
+    #: table; elsewhere the flag is a no-op.
+    nee: bool = False
     #: Sub-pixel anti-aliasing: jitter each sample's camera ray uniformly
     #: over the pixel footprint (box filter). The reference has NO pixel
     #: jitter at all (uv comes straight from the pixel index,

@@ -32,7 +32,7 @@ DEFAULT_TILE_COLS = 256
                           "skybox", "debug_mode", "tile_rows", "tile_cols",
                           "lanes", "unroll", "shade_every", "cohorts",
                           "normal_maps", "pallas_spheres", "claim",
-                          "boundaries", "log_cap", "antialias"))
+                          "boundaries", "log_cap", "antialias", "nee"))
 def render_frame(scene: RenderScene, framebuffer: jax.Array, frames: jax.Array,
                  debug_scale: jax.Array, *, width: int, height: int,
                  bounces: int, rays_per_pixel: int, skybox: bool,
@@ -42,7 +42,7 @@ def render_frame(scene: RenderScene, framebuffer: jax.Array, frames: jax.Array,
                  normal_maps: bool = False,
                  pallas_spheres: bool = False, claim: str | None = None,
                  boundaries: int | None = None, log_cap: int | None = None,
-                 antialias: bool = False):
+                 antialias: bool = False, nee: bool = False):
     """Render + accumulate one frame. framebuffer: (height, width, 4) f32.
     Returns (new framebuffer, traced-segment count scalar)."""
     sample, segments = render_sample(
@@ -52,7 +52,7 @@ def render_frame(scene: RenderScene, framebuffer: jax.Array, frames: jax.Array,
         lanes=lanes, unroll=unroll, shade_every=shade_every,
         cohorts=cohorts, normal_maps=normal_maps,
         pallas_spheres=pallas_spheres, claim=claim, boundaries=boundaries,
-        log_cap=log_cap, antialias=antialias)
+        log_cap=log_cap, antialias=antialias, nee=nee)
     # Progressive average (ray_tracer.wgsl:154-161): frames <= 0 ⇒ overwrite.
     weight = jnp.where(frames >= 1, 1.0 / (frames.astype(jnp.float32) + 1.0), 1.0)
     return framebuffer * (1.0 - weight) + sample * weight, segments
@@ -69,7 +69,7 @@ def render_sample(scene: RenderScene, frames, debug_scale, *, width: int,
                   pallas_spheres: bool = False,
                   claim: str | None = None, boundaries: int | None = None,
                   log_cap: int | None = None,
-                  antialias: bool = False) -> jax.Array:
+                  antialias: bool = False, nee: bool = False) -> jax.Array:
     """Radiance for ``rows`` rows starting at ``row_start`` (no accumulation),
     (rows, width, 4). ``row_start`` may be traced (multi-chip row blocks);
     ``width``/``height`` always describe the FULL image (camera uv space).
@@ -120,7 +120,7 @@ def render_sample(scene: RenderScene, frames, debug_scale, *, width: int,
             scene, frames, width=width, height=height, bounces=bounces,
             rays_per_pixel=rays_per_pixel, skybox=skybox,
             row_start=row_start, rows=rows, normal_maps=normal_maps,
-            antialias=antialias, **kw)
+            antialias=antialias, nee=nee, **kw)
 
     tile_cols = width if tile_cols is None else tile_cols
     n_ty = -(-rows // tile_rows)
@@ -192,7 +192,8 @@ class Renderer:
         if mode == "0":
             return False
         if params.debug_mode != DebugMode.OFF or params.normal_maps \
-                or getattr(params, "antialias", False):
+                or getattr(params, "antialias", False) \
+                or getattr(params, "nee", False):
             return False
         if mode != "1" and jax.default_backend() != "tpu":
             return False
@@ -223,6 +224,7 @@ class Renderer:
             log_cap=self.log_cap,
             normal_maps=bool(getattr(params, "normal_maps", False)),
             antialias=bool(getattr(params, "antialias", False)),
+            nee=bool(getattr(params, "nee", False)),
             pallas_spheres=self._use_pallas_spheres(scene, params),
         )
         return self.framebuffer

@@ -133,9 +133,11 @@ jax.tree_util.register_pytree_node(
     lambda _, vals: ColState(vals))
 
 
-# I-state column map (I_SP = wide-traversal resume-stack pointer)
+# I-state column map (I_SP = wide-traversal resume-stack pointer; I_NEE =
+# "previous bounce sampled a light via NEE" — suppresses the next hit's
+# surface-emission term to avoid double counting; always 0 when nee is off)
 I_SEED, I_BOUNCE, I_SEGS, I_CUR, I_PTR, I_TRI, I_MAT, I_STRI, I_SMAT, \
-    I_FLAG, I_SN, I_ST, I_PIXEL, I_SAMPLE, I_SP, _IP2 = range(16)
+    I_FLAG, I_SN, I_ST, I_PIXEL, I_SAMPLE, I_SP, I_NEE = range(16)
 
 
 def _bvh_instances(scene: RenderScene):
@@ -144,7 +146,7 @@ def _bvh_instances(scene: RenderScene):
 
 
 def _make_parts(scene: RenderScene, B: int, bounces: int, skybox: bool,
-                normal_maps: bool = False):
+                normal_maps: bool = False, nee: bool = False):
     """Build the shared kernel phases as closures over one (scene, B)."""
     from ray_tracer_2_tpu.kernels.trace import (
         _gather_material, _mat4_apply, _reflectance, environment_light,
@@ -161,6 +163,11 @@ def _make_parts(scene: RenderScene, B: int, bounces: int, skybox: bool,
     sph_root = int(getattr(scene, "sphere_bvh_root", -1))
     sph = sph_root >= 0
     n_phase = n_bvh + (1 if sph else 0)
+    # Next-event estimation engages only on no-traversal scenes with a
+    # non-empty static light table (RenderScene.lights): the shadow query
+    # is then ONE extra inline segment_prepass per boundary — no shadow
+    # segments threaded through the traversal state machine.
+    nee_on = bool(nee) and n_phase == 0 and len(scene.lights) > 0
     SPH_SENT = 0x3FFFFFFF  # best-id sentinel: loses every (dst, id) lex tie
     D = int(scene.wide_depth) + 2  # resume-stack depth (static)
     w2m_all = scene.inst_world_to_model
@@ -637,8 +644,11 @@ def _make_parts(scene: RenderScene, B: int, bounces: int, skybox: bool,
     # -------------------------------------------- resolve + shade ----
     def resolve_and_shade(F, W, I, at_b):
         """Shading for rays at a boundary with a completed segment. Returns
-        (o, d, trans, incoming, seed, continues_path) — continues_path means
-        the path survives into another segment."""
+        (o, d, trans, incoming, seed, continues_path, nee_bit) —
+        continues_path means the path survives into another segment;
+        nee_bit (None unless NEE is compiled in) marks lanes whose bounce
+        just sampled a light directly, so the NEXT hit's surface emission
+        must be skipped."""
         o, d = F[:, 0:3], F[:, 3:6]
         trans, incoming = F[:, 6:10], F[:, 10:14]
         seed = jax.lax.bitcast_convert_type(I[:, I_SEED], jnp.uint32)
@@ -747,6 +757,12 @@ def _make_parts(scene: RenderScene, B: int, bounces: int, skybox: bool,
         diffuse_n, seed_n = rng.rand_hemisphere(normal, seed_n)
         specular_dir = reflect(d, normal)
         emitted = m["emission_color"] * m["emission_strength"][:, None]
+        if nee_on:
+            # the previous bounce already accounted this surface's direct
+            # light by sampling it (NEE); adding the emission again on a
+            # BSDF hit would double count (diffuse bounces only — specular
+            # and glass bounces keep emission and never set the bit)
+            emitted = jnp.where((I[:, I_NEE] > 0)[:, None], 0.0, emitted)
         dir_n = normalize(lerp(diffuse_n, specular_dir,
                                (m["smoothness"] * is_specular)[:, None]))
         incoming_n = incoming + emitted * trans
@@ -770,6 +786,96 @@ def _make_parts(scene: RenderScene, B: int, bounces: int, skybox: bool,
             color = jnp.where(textured[:, None], tex_color, m["color"])
         else:
             color = m["color"]
+
+        nee_bit = None
+        if nee_on:
+            # ---- next-event estimation (diffuse bounces) -------------
+            # One light sample per diffuse bounce, picked uniformly by
+            # area over the static light table. The reference's diffuse
+            # bounce is a UNIFORM-hemisphere draw (rand_hemisphere =
+            # sign-flipped uniform sphere, ray_tracer.wgsl:176-179) that
+            # collects albedo * Le on a light hit — i.e. direction pdf
+            # 1/(2pi) with NO cosine factor (not Lambertian-cosine; a
+            # cos/pi estimator here measured +8% bright on Cornell). The
+            # matching area-form estimator is therefore
+            #   albedo * Le * cos_light * total_area / (2 pi d^2)
+            # restricted to the upper hemisphere (cos_surf > 0 — the only
+            # directions the uniform draw can reach), with a full inline
+            # prepass as the occlusion query. Lights are double-sided,
+            # matching emission-on-any-hit shading.
+            import numpy as _np
+            arr = _np.asarray(scene.lights, _np.float32)
+            lk, lv0 = arr[:, 0], arr[:, 1:4]
+            lv1, lv2, lrad = arr[:, 4:7], arr[:, 7:10], arr[:, 10:13]
+            larea = arr[:, 13]
+            nrm = _np.cross(lv1 - lv0, lv2 - lv0)
+            nl = _np.linalg.norm(nrm, axis=1, keepdims=True)
+            nrm = nrm / _np.maximum(nl, 1e-30)
+            tbl = jnp.asarray(_np.concatenate(
+                [lk[:, None], lv0, lv1, lv2, nrm, lrad], axis=1))
+            total_area = float(larea.sum())
+            cdf = _np.cumsum(larea) / max(total_area, 1e-30)
+            nL = len(arr)
+
+            r_pick, seed_n = rng.rand(seed_n)
+            r1, seed_n = rng.rand(seed_n)
+            r2, seed_n = rng.rand(seed_n)
+            if nL > 1:
+                idx = jnp.sum((r_pick[:, None]
+                               >= jnp.asarray(cdf[:-1])[None, :]
+                               ).astype(jnp.int32), axis=1)
+            else:
+                idx = jnp.zeros((B,), jnp.int32)
+            onehot = (jnp.arange(nL, dtype=jnp.int32)[None, :]
+                      == idx[:, None]).astype(jnp.float32)
+            row = jnp.dot(onehot, tbl, precision=jax.lax.Precision.HIGHEST)
+            is_sph_l = (row[:, 0] > 0.5)[:, None]
+            # triangle: uniform barycentric (sqrt warp)
+            su = jnp.sqrt(r1)
+            p_tri = (row[:, 1:4] * (1.0 - su)[:, None]
+                     + row[:, 4:7] * (su * (1.0 - r2))[:, None]
+                     + row[:, 7:10] * (su * r2)[:, None])
+            # sphere: uniform area over the whole surface (back-facing
+            # samples are killed by the occlusion test through the light
+            # sphere's own front surface)
+            z = 1.0 - 2.0 * r1
+            s_r = jnp.sqrt(jnp.maximum(1.0 - z * z, 0.0))
+            phi = (2.0 * math.pi) * r2
+            n_sph = jnp.stack([s_r * jnp.cos(phi), s_r * jnp.sin(phi), z],
+                              axis=1)
+            radius_l = row[:, 4:5]      # sphere rows carry radius in v1.x
+            p_l = jnp.where(is_sph_l, row[:, 1:4] + n_sph * radius_l, p_tri)
+            n_l = jnp.where(is_sph_l, n_sph, row[:, 10:13])
+
+            dvec = p_l - hit["point"]
+            d2 = dot(dvec, dvec)
+            t_l = jnp.sqrt(jnp.maximum(d2, 1e-12))
+            d_s = dvec / t_l[:, None]
+            cos_s = dot(normal, d_s)
+            # SINGLE-SIDED lights, matching the reference's backface cull
+            # (non-glass triangles are culled, ray_tracer.wgsl:268,358 — a
+            # light's back side is invisible to BSDF rays, so NEE must not
+            # see it either; |cos_l| here measured +9% bright on Cornell
+            # from ceiling pixels behind the light quad). A sphere light's
+            # outward normal gives the same condition for outside viewers.
+            cos_l = -dot(n_l, d_s)
+            geom = cos_l * (total_area / (2.0 * math.pi)) \
+                / jnp.maximum(d2, 1e-12)
+            W_s, _, _, _, _ = segment_prepass(hit["point"], d_s)
+            unocc = W_s[:, 0] >= t_l * (1.0 - 1e-3)
+            # the light sample substitutes the NEXT segment's direct hit, so
+            # it must respect the same bounce budget — otherwise NEE adds a
+            # bounce of direct light a finite-bounce path can never collect
+            # (measured +11% mean at bounces=4 on Cornell before this gate)
+            diffuse_lane = shading & ~is_specular & ~is_glass \
+                & (bounce + 1 <= bounces)
+            ok = diffuse_lane & unocc & (cos_s > 0.0) & (cos_l > 0.0)
+            rad4 = jnp.concatenate([row[:, 13:16],
+                                    jnp.zeros((B, 1))], axis=1)
+            contrib = trans * color * rad4 * geom[:, None]
+            incoming_n = incoming_n + jnp.where(ok[:, None], contrib, 0.0)
+            nee_bit = diffuse_lane
+
         trans_n = trans * jnp.where(is_specular[:, None],
                                     m["specular_color"], color)
 
@@ -804,7 +910,7 @@ def _make_parts(scene: RenderScene, B: int, bounces: int, skybox: bool,
         next_bounce = bounce + 1
         continues_path = at_b & started & shading & survive \
             & (next_bounce <= bounces)
-        return o, d, trans, incoming, seed, continues_path
+        return o, d, trans, incoming, seed, continues_path, nee_bit
 
     # ---------------------------------------- segment prepass --------
     def segment_prepass(o, d):
@@ -1079,7 +1185,7 @@ def trace_batch_flat(scene: RenderScene, origin, direction, seed, *,
 
     def boundary(F, M, W, I, S):
         at_b = (I[:, I_PTR] >= n_phase) & (I[:, I_BOUNCE] != DONE)
-        o, d, trans, incoming, seed, continues_path = \
+        o, d, trans, incoming, seed, continues_path, _nee = \
             parts["resolve_and_shade"](F, W, I, at_b)
         started = I[:, I_BOUNCE] >= 0
         next_bounce = I[:, I_BOUNCE] + 1
@@ -1125,7 +1231,7 @@ def render_persistent(scene: RenderScene, frames, *, width: int, height: int,
                       normal_maps: bool = False, claim: str = "queue",
                       boundaries: int = 1, log_cap: int | None = None,
                       claim_shuffle: bool = True,
-                      antialias: bool = False,
+                      antialias: bool = False, nee: bool = False,
                       return_iters: bool = False):
     """Persistent-lanes whole-image render. Returns ((rows, width, 4) image,
     total traced segments). Pixel p maps to (x = p %% width,
@@ -1167,7 +1273,7 @@ def render_persistent(scene: RenderScene, frames, *, width: int, height: int,
         assert shade_every == 0 and claim == "queue", \
             "boundaries>1 requires the ungated queue boundary"
     B = lanes // cohorts
-    parts = _make_parts(scene, B, bounces, skybox, normal_maps)
+    parts = _make_parts(scene, B, bounces, skybox, normal_maps, nee=nee)
     n_bvh = parts["n_bvh"]  # 0 is fine: boundary-only loop (no traversal)
     n_phase = parts["n_phase"]
     has_trav = n_phase > 0  # any BVH (triangle or sphere) to traverse
@@ -1262,7 +1368,7 @@ def render_persistent(scene: RenderScene, frames, *, width: int, height: int,
 
     def boundary(F, M, W, I, S, A, logv, logp, cursor, wcursor):
         at_b = (I[:, I_PTR] >= n_phase) & (I[:, I_BOUNCE] != DONE)
-        o, d, trans, incoming, seed, continues_path = \
+        o, d, trans, incoming, seed, continues_path, nee_bit = \
             parts["resolve_and_shade"](F, W, I, at_b)
         bounce = I[:, I_BOUNCE]
         idle = bounce == IDLE
@@ -1274,6 +1380,7 @@ def render_persistent(scene: RenderScene, frames, *, width: int, height: int,
         sample_i = I[:, I_SAMPLE]
         more_samples = sample_end & ~idle & (sample_i + 1 < rpp)
         pixel_done = sample_end & ~more_samples  # includes idle lanes
+        nee_commit = at_b  # lanes whose resolve takes effect this round
         valid_px = pixel_done & (I[:, I_PIXEL] >= 0)
 
         if log_cap < B and not striped:
@@ -1300,6 +1407,7 @@ def render_persistent(scene: RenderScene, frames, *, width: int, height: int,
                 defer, jax.lax.bitcast_convert_type(I[:, I_SEED],
                                                     jnp.uint32), seed)
             continues = continues & ~defer
+            nee_commit = nee_commit & ~defer  # replayed resolve recomputes
         A = jnp.where((sample_end & ~idle)[:, None], A + incoming, A)
         if striped:
             # pixel complete → masked select into the lane's bank column
@@ -1381,6 +1489,13 @@ def render_persistent(scene: RenderScene, frames, *, width: int, height: int,
                                                 new_bounce)
         I = I.at[:, I_PIXEL].set(pixel)
         I = I.at[:, I_SAMPLE].set(sample_i)
+        if nee_bit is not None:
+            # restarted lanes begin a fresh path: primary-hit emission must
+            # show, so the suppression bit clears with the restart
+            I = I.at[:, I_NEE].set(jnp.where(
+                restart, 0, jnp.where(nee_commit,
+                                      nee_bit.astype(jnp.int32),
+                                      I[:, I_NEE])))
         retire = pixel_done & ~got_job
         I = I.at[:, I_BOUNCE].set(jnp.where(retire, DONE, I[:, I_BOUNCE]))
         I = I.at[:, I_PTR].set(jnp.where(retire, n_phase, I[:, I_PTR]))

@@ -79,6 +79,61 @@ def _shade_classes(records) -> tuple:
     return tuple(classes)
 
 
+#: NEE is compiled out for scenes with more light primitives than this —
+#: the sampler's one-hot pick table must stay a trivially-foldable constant.
+MAX_NEE_LIGHTS = 64
+
+
+def _extract_lights(records, tri, inst_spans, inst_m2w, inst_mat_deltas,
+                    spheres) -> tuple:
+    """Static emissive-primitive table for NEE (see RenderScene.lights).
+
+    Triangles come from BRUTE-FORCE instances only (count <= BRUTE_MAX_TRIS
+    of kernels/brute.py — NEE engages only on no-traversal scenes anyway),
+    transformed to world space; spheres directly. Each row carries the
+    RESOLVED radiance (emission_color * strength, the exact term the path
+    tracer adds on a hit, ray_tracer.wgsl:452) and the world-space area
+    that converts the uniform-over-total-area pdf."""
+    from ray_tracer_2_tpu.kernels.brute import BRUTE_MAX_TRIS
+
+    def emissive(rec):
+        return (rec.emission_strength > 0.0
+                and max(rec.emission_color[:3]) > 0.0)
+
+    def radiance(rec):
+        return tuple(float(c) * float(rec.emission_strength)
+                     for c in rec.emission_color[:3])
+
+    lights = []
+    for i, (_, tri_off, count) in enumerate(inst_spans):
+        if count > BRUTE_MAX_TRIS:
+            continue
+        m = np.asarray(inst_m2w[i], np.float32)
+        delta = inst_mat_deltas[i] if i < len(inst_mat_deltas) else 0
+        for t in range(tri_off, tri_off + count):
+            rec = records[int(tri["mat"][t]) + delta]
+            if not emissive(rec):
+                continue
+            w = [tuple((m[:3, :3] @ v + m[:3, 3]).tolist())
+                 for v in (tri["v0"][t], tri["v1"][t], tri["v2"][t])]
+            area = 0.5 * float(np.linalg.norm(
+                np.cross(np.subtract(w[1], w[0]), np.subtract(w[2], w[0]))))
+            if area <= 0.0:
+                continue
+            lights.append((0, *w[0], *w[1], *w[2], *radiance(rec), area))
+    for centre, radius, mid in spheres:
+        rec = records[mid]
+        if not emissive(rec):
+            continue
+        area = float(4.0 * np.pi * radius * radius)
+        lights.append((1, *(float(c) for c in np.asarray(centre)[:3]),
+                       float(radius), 0.0, 0.0, 0.0, 0.0, 0.0,
+                       *radiance(rec), area))
+    if len(lights) > MAX_NEE_LIGHTS:
+        return ()
+    return tuple(lights)
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class RenderScene:
@@ -177,6 +232,16 @@ class RenderScene:
     #: forces off/on).
     sphere_bvh_root: int = dataclasses.field(metadata=dict(static=True),
                                              default=-1)
+    #: STATIC emissive-primitive table for next-event estimation
+    #: (RenderParams.nee): tuple of rows
+    #: (kind, x0,y0,z0, x1,y1,z1, x2,y2,z2, er,eg,eb, area) — kind 0 =
+    #: world-space triangle (3 verts), kind 1 = sphere (row 1 = centre,
+    #: row 2.x = radius, verts 1/2 otherwise unused). Hashable floats; the
+    #: kernel folds them into compile-time constants. Empty ⇒ NEE disabled
+    #: for the scene. Brute-force instances + spheres only (NEE engages
+    #: only on no-traversal scenes).
+    lights: tuple = dataclasses.field(metadata=dict(static=True),
+                                      default=())
     #: STATIC material-class summary ("glass"/"texture"/"normal_map" subset):
     #: lets the shading kernel compile OUT whole branches a scene never takes
     #: (the dragon has no glass → no refract/Schlick/Beer-Lambert code at
@@ -645,6 +710,12 @@ def instantiate_scene(definition: SceneDefinition,
         sphere_bvh_root=int(sphere_bvh_root),
         inst_mat_deltas=tuple(int(d) for d in inst_mat_delta),
         shade_classes=_shade_classes(records),
+        lights=_extract_lights(
+            records, tri,
+            tuple((int(n), int(t), int(c))
+                  for n, t, c in zip(inst_node_off, inst_tri_off,
+                                     inst_counts)),
+            inst_m2w, [int(d) for d in inst_mat_delta], spheres),
         tri_attr=jnp.asarray(tri_attr),
         mat_rows=jnp.asarray(mat_rows),
         tex_meta=jnp.asarray(tex_meta),

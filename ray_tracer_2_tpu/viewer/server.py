@@ -304,7 +304,8 @@ class ViewerServer:
         p = eng.params
         if name in ("bounces", "rays_per_pixel", "debug_scale"):
             eng.params = dataclasses.replace(p, **{name: int(value)}, frames=-1)
-        elif name in ("skybox", "accumulate", "normal_maps", "antialias"):
+        elif name in ("skybox", "accumulate", "normal_maps", "antialias",
+                      "nee"):
             eng.params = dataclasses.replace(p, **{name: bool(value)}, frames=-1)
         elif name == "adaptive_motion":
             # host-side policy knob: no accumulation reset needed
@@ -355,6 +356,7 @@ class ViewerServer:
                 skybox=eng.params.skybox, accumulate=eng.params.accumulate,
                 normal_maps=eng.params.normal_maps,
                 antialias=eng.params.antialias,
+                nee=eng.params.nee,
                 adaptive_motion=eng.params.adaptive_motion,
                 motion_target_ms=eng.params.motion_target_ms,
                 debug_mode=int(eng.params.debug_mode),
