@@ -19,7 +19,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 
 def bench_one(scene_name, env=None, frames=8, warmup=2, width=1920,
-              height=1080, bounces=5):
+              height=1080, bounces=5, renderer_kw=None):
     import jax
     from bench import named_scene
     from ray_tracer_2_tpu.config import RenderParams
@@ -33,7 +33,7 @@ def bench_one(scene_name, env=None, frames=8, warmup=2, width=1920,
         host = named_scene(scene_name)
         p = RenderParams(width=width, height=height, bounces=bounces,
                          rays_per_pixel=1, skybox=True, frames=0)
-        r = Renderer()
+        r = Renderer(**(renderer_kw or {}))
         for f in range(warmup):
             fb = r.render(host.render_scene, dataclasses.replace(p, frames=f))
         fb.block_until_ready()
@@ -66,6 +66,13 @@ CONFIGS = [
     ("sponza", {}),
     ("room2", {}),
     ("texture_test", {}),
+    # lanes/unroll re-sweep under the round-3 iteration structure (log cap,
+    # claim shuffle, traversal-limit seeding may have moved the optimum)
+    ("dragon", {"_kw": {"lanes": 24576}}),
+    ("dragon", {"_kw": {"lanes": 32768}}),
+    ("dragon", {"_kw": {"lanes": 8192}}),
+    ("dragon", {"_kw": {"unroll": 4}}),
+    ("dragon", {"_kw": {"unroll": 6}}),
 ]
 
 
@@ -93,8 +100,9 @@ def main():
             if names and scene not in names:
                 continue
             try:
-                v = bench_one(scene, env)
-                rec = {"scene": scene, "env": env, "mrays": v}
+                kw = env.pop("_kw", None) if isinstance(env, dict) else None
+                v = bench_one(scene, env, renderer_kw=kw)
+                rec = {"scene": scene, "env": env, "kw": kw, "mrays": v}
             except Exception as e:  # keep sweeping on one-config failure
                 rec = {"scene": scene, "env": env,
                        "error": f"{type(e).__name__}: {e}"[:300]}
