@@ -39,16 +39,22 @@ GOLDENS = {
     # sphere-BVH golden (accel/wide.py pack_sphere_wide_rows)
     "random_balls": (scenes.random_balls, dict(width=96, height=54,
                                                bounces=3, frames=4)),
+    # quality-flag goldens: pin the NEE estimator and the AA jitter stream
+    "cornell_nee": (scenes.cornell_box, dict(width=96, height=54, bounces=4,
+                                             frames=8, nee=1)),
+    "metal_aa": (scenes.metal, dict(width=96, height=54, bounces=4,
+                                    frames=8, antialias=1)),
 }
 
 OUT = Path(__file__).resolve().parents[1] / "tests" / "goldens"
 
 
-def render_golden(build, width, height, bounces, frames):
+def render_golden(build, width, height, bounces, frames, nee=0, antialias=0):
     host = instantiate_scene(build())
     r = Renderer()
     p = RenderParams(width=width, height=height, bounces=bounces,
-                     rays_per_pixel=1, skybox=True)
+                     rays_per_pixel=1, skybox=True, nee=bool(nee),
+                     antialias=bool(antialias))
     fb = None
     for f in range(frames):
         fb = r.render(host.render_scene, dataclasses.replace(p, frames=f))

@@ -24,7 +24,10 @@ BUILDERS = {"metal": scenes.metal, "balls": scenes.balls,
             # (the sphere BVH is a knob, off by default — render_scene.py
             # SPHERE_BVH_MIN; its coverage lives in test_multidevice)
             "obj_test": scenes.obj_test,
-            "random_balls": scenes.random_balls}
+            "random_balls": scenes.random_balls,
+            # quality-flag goldens (NEE estimator / AA jitter stream)
+            "cornell_nee": scenes.cornell_box,
+            "metal_aa": scenes.metal}
 
 
 def rmse(a, b):
@@ -36,7 +39,7 @@ def test_golden(name, assets):
     path = GOLDEN_DIR / f"{name}.npz"
     if not path.exists():
         pytest.skip("golden not generated (scripts/make_goldens.py)")
-    if name == "cornell":
+    if name in ("cornell", "cornell_nee"):
         from tests.conftest import require_asset
         require_asset(assets, "CornellBox-Original.obj")
     if name == "obj_test":
@@ -45,11 +48,13 @@ def test_golden(name, assets):
     with np.load(path) as z:
         golden = z["framebuffer"]
         cfg = {k: int(z[k]) for k in ("width", "height", "bounces", "frames")}
+        flags = {k: bool(int(z[k])) for k in ("nee", "antialias") if k in z}
 
     host = instantiate_scene(BUILDERS[name]())
     r = Renderer()
     p = RenderParams(width=cfg["width"], height=cfg["height"],
-                     bounces=cfg["bounces"], rays_per_pixel=1, skybox=True)
+                     bounces=cfg["bounces"], rays_per_pixel=1, skybox=True,
+                     **flags)
     fb = None
     for f in range(cfg["frames"]):
         fb = r.render(host.render_scene, dataclasses.replace(p, frames=f))
