@@ -332,6 +332,7 @@ class HostScene:
         self.render_scene = rs
         if rs.sphere_bvh_root >= 0:
             self._rebuild_sphere_rows()
+        self._refresh_lights()
 
     def _rebuild_sphere_rows(self) -> None:
         """Re-derive the sphere-BVH tail of ``wide_rows`` from the current
@@ -371,6 +372,7 @@ class HostScene:
         self.render_scene = rs
         if rec.flag != flag_before:
             self._repack_cull_flags()
+        self._refresh_lights()
 
     def edit_instance_transform(self, index: int, transform=None, *,
                                 pos=None, rot=None, scale=None) -> None:
@@ -399,6 +401,25 @@ class HostScene:
                 jnp.asarray(inv)),
         )
         self.render_scene = rs
+        self._refresh_lights()
+
+    def _refresh_lights(self) -> None:
+        """Re-derive the static NEE light table after a live edit that can
+        move or re-color an emissive primitive (emission edits, sphere
+        moves, instance transforms). A no-op when the table is unchanged
+        (tuple equality), so non-light edits never trigger a recompile."""
+        rs = self.render_scene
+        tri = {"v0": np.asarray(rs.tri_v0), "v1": np.asarray(rs.tri_v1),
+               "v2": np.asarray(rs.tri_v2), "mat": np.asarray(rs.tri_mat)}
+        m2w = list(np.asarray(rs.inst_model_to_world))
+        spheres = [(p, float(r), int(m)) for p, r, m in
+                   zip(np.asarray(rs.sphere_pos),
+                       np.asarray(rs.sphere_radius),
+                       np.asarray(rs.sphere_mat))]
+        lights = _extract_lights(self.records, tri, rs.inst_spans, m2w,
+                                 list(rs.inst_mat_deltas), spheres)
+        if lights != rs.lights:
+            self.render_scene = dataclasses.replace(rs, lights=lights)
 
     def _repack_cull_flags(self) -> None:
         from ray_tracer_2_tpu.accel.wide import pack_wide_rows

@@ -88,3 +88,31 @@ def test_nee_off_matches_default(cornell_rs):
     a, _ = _acc(cornell_rs, False, 3, 1)
     b, _ = _acc(cornell_rs, False, 3, 1)
     assert (a == b).all()
+
+
+def test_light_table_follows_live_edits():
+    """Live edits that move or re-color emissive primitives must refresh
+    the static NEE light table (otherwise NEE samples stale radiance);
+    unrelated edits must leave the tuple identical (no recompile)."""
+    host = instantiate_scene(scenes.balls())
+    base = host.render_scene.lights
+    assert len(base) == 1 and base[0][0] == 1
+    # find the emissive sphere's index
+    import numpy as np
+    mats = np.asarray(host.render_scene.sphere_mat)
+    sun = next(i for i in range(len(mats))
+               if host.records[int(mats[i])].emission_strength > 0)
+    other = next(i for i in range(len(mats)) if i != sun)
+
+    # move a NON-emissive sphere: table identical (same object semantics)
+    host.edit_sphere(other, centre=[9.0, 9.0, 9.0])
+    assert host.render_scene.lights == base
+
+    # move the sun: the light row's centre follows
+    host.edit_sphere(sun, centre=[1.0, 2.0, 3.0])
+    moved = host.render_scene.lights
+    assert moved != base and moved[0][1:4] == (1.0, 2.0, 3.0)
+
+    # dim the sun to zero: the table empties (NEE compiles out)
+    host.edit_material(int(mats[sun]), emission_strength=0.0)
+    assert host.render_scene.lights == ()
