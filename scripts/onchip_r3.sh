@@ -1,0 +1,14 @@
+#!/bin/bash
+# Round-3 on-chip session runbook, ONE python process per phase (the axon
+# relay warmup dominates; never run two TPU processes concurrently).
+# Usage: bash scripts/onchip_r3.sh   (on a host with the TPU relay up)
+set -u
+cd "$(dirname "$0")/.."
+echo "== 1/4 Mosaic smoke gate =="
+timeout 1800 python bench.py --smoke | tail -1
+echo "== 2/4 sweep (regressions + shared-term sphere A/B + lanes/unroll) =="
+timeout 7200 python scripts/sweep_r3.py
+echo "== 3/4 dragon op-level profile (VPU-tail decomposition) =="
+timeout 3600 python scripts/profile_scene.py dragon --top 60
+echo "== 4/4 headline bench =="
+timeout 1800 python bench.py | tail -1
