@@ -60,9 +60,11 @@ class RenderParams:
     #: through an explicit shadow query (surface emission on the following
     #: BSDF hit is suppressed to stay unbiased). Collapses variance on
     #: enclosed-light scenes (Cornell class) by an order of magnitude per
-    #: sample. Reference-divergent physics path — off by default. Engages
-    #: only on no-traversal scenes with a non-empty RenderScene.lights
-    #: table; elsewhere the flag is a no-op.
+    #: sample. Reference-divergent physics path — off by default. On
+    #: no-traversal scenes the shadow query is one inline prepass; on
+    #: BVH-traversal scenes it runs as a SHADOW SEGMENT through the
+    #: ordinary traversal machinery (kernels/megakernel.py nee_mode).
+    #: A no-op when the scene has no emissive primitives.
     nee: bool = False
     #: Sub-pixel anti-aliasing: jitter each sample's camera ray uniformly
     #: over the pixel footprint (box filter). The reference has NO pixel

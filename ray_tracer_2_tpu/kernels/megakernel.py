@@ -163,11 +163,22 @@ def _make_parts(scene: RenderScene, B: int, bounces: int, skybox: bool,
     sph_root = int(getattr(scene, "sphere_bvh_root", -1))
     sph = sph_root >= 0
     n_phase = n_bvh + (1 if sph else 0)
-    # Next-event estimation engages only on no-traversal scenes with a
-    # non-empty static light table (RenderScene.lights): the shadow query
-    # is then ONE extra inline segment_prepass per boundary — no shadow
-    # segments threaded through the traversal state machine.
-    nee_on = bool(nee) and n_phase == 0 and len(scene.lights) > 0
+    # Next-event estimation (needs a non-empty static light table):
+    #   mode 1 — no-traversal scenes: the shadow query is ONE extra inline
+    #            segment_prepass per boundary (cheapest).
+    #   mode 2 — traversal scenes: the shadow query is a SHADOW SEGMENT
+    #            through the ordinary prepass+traversal machinery, with the
+    #            continuation ray + pending contribution stashed in
+    #            F[:, 14:24]. RT2_NEE_SEGMENTS=1 forces mode 2 on
+    #            no-traversal scenes too — there both modes are BIT-EQUAL
+    #            (tests/test_nee.py), which is the correctness gate for the
+    #            stash/bit/bounce plumbing.
+    import os as _os
+    if nee and len(scene.lights) > 0:
+        nee_mode = 2 if (n_phase > 0
+                         or _os.environ.get("RT2_NEE_SEGMENTS") == "1") else 1
+    else:
+        nee_mode = 0
     SPH_SENT = 0x3FFFFFFF  # best-id sentinel: loses every (dst, id) lex tie
     D = int(scene.wide_depth) + 2  # resume-stack depth (static)
     w2m_all = scene.inst_world_to_model
@@ -680,6 +691,12 @@ def _make_parts(scene: RenderScene, B: int, bounces: int, skybox: bool,
         )
 
         alive = at_b & started & (bounce <= bounces)
+        if nee_mode == 2:
+            # lanes resuming from a SHADOW segment are not at a path
+            # vertex: no sky light, no shading, no RNG consumption (their
+            # seed must stay exactly where the diffuse bounce left it)
+            in_shadow = (I[:, I_NEE] & 2) != 0
+            alive = alive & ~in_shadow
         missed = alive & ~hit["hit"]
         if skybox:
             incoming = jnp.where(missed[:, None],
@@ -757,12 +774,13 @@ def _make_parts(scene: RenderScene, B: int, bounces: int, skybox: bool,
         diffuse_n, seed_n = rng.rand_hemisphere(normal, seed_n)
         specular_dir = reflect(d, normal)
         emitted = m["emission_color"] * m["emission_strength"][:, None]
-        if nee_on:
+        if nee_mode:
             # the previous bounce already accounted this surface's direct
             # light by sampling it (NEE); adding the emission again on a
             # BSDF hit would double count (diffuse bounces only — specular
             # and glass bounces keep emission and never set the bit)
-            emitted = jnp.where((I[:, I_NEE] > 0)[:, None], 0.0, emitted)
+            emitted = jnp.where(((I[:, I_NEE] & 1) > 0)[:, None], 0.0,
+                                emitted)
         dir_n = normalize(lerp(diffuse_n, specular_dir,
                                (m["smoothness"] * is_specular)[:, None]))
         incoming_n = incoming + emitted * trans
@@ -787,8 +805,9 @@ def _make_parts(scene: RenderScene, B: int, bounces: int, skybox: bool,
         else:
             color = m["color"]
 
-        nee_bit = None
-        if nee_on:
+        nee_state = None   # new I_NEE bitfield (bit0 suppress-next-emission,
+        nee_stash = None   # bit1 in-shadow-segment, bit2 stash-continues)
+        if nee_mode:
             # ---- next-event estimation (diffuse bounces) -------------
             # One light sample per diffuse bounce, picked uniformly by
             # area over the static light table. The reference's diffuse
@@ -800,9 +819,14 @@ def _make_parts(scene: RenderScene, B: int, bounces: int, skybox: bool,
             # matching area-form estimator is therefore
             #   albedo * Le * cos_light * total_area / (2 pi d^2)
             # restricted to the upper hemisphere (cos_surf > 0 — the only
-            # directions the uniform draw can reach), with a full inline
-            # prepass as the occlusion query. Lights are double-sided,
-            # matching emission-on-any-hit shading.
+            # directions the uniform draw can reach). SINGLE-SIDED lights,
+            # matching the reference's backface cull (ray_tracer.wgsl:268,
+            # 358 — a light's back side is invisible to BSDF rays; |cos_l|
+            # measured +9% bright on Cornell from pixels behind the quad).
+            # Occlusion: nee_mode 1 (no-traversal scenes) answers it with
+            # one inline prepass; nee_mode 2 defers it to a SHADOW SEGMENT
+            # through the ordinary traversal machinery (bit-equal to mode
+            # 1 on no-traversal scenes, tests/test_nee.py).
             import numpy as _np
             arr = _np.asarray(scene.lights, _np.float32)
             lk, lv0 = arr[:, 0], arr[:, 1:4]
@@ -852,29 +876,25 @@ def _make_parts(scene: RenderScene, B: int, bounces: int, skybox: bool,
             t_l = jnp.sqrt(jnp.maximum(d2, 1e-12))
             d_s = dvec / t_l[:, None]
             cos_s = dot(normal, d_s)
-            # SINGLE-SIDED lights, matching the reference's backface cull
-            # (non-glass triangles are culled, ray_tracer.wgsl:268,358 — a
-            # light's back side is invisible to BSDF rays, so NEE must not
-            # see it either; |cos_l| here measured +9% bright on Cornell
-            # from ceiling pixels behind the light quad). A sphere light's
-            # outward normal gives the same condition for outside viewers.
             cos_l = -dot(n_l, d_s)
             geom = cos_l * (total_area / (2.0 * math.pi)) \
                 / jnp.maximum(d2, 1e-12)
-            W_s, _, _, _, _ = segment_prepass(hit["point"], d_s)
-            unocc = W_s[:, 0] >= t_l * (1.0 - 1e-3)
             # the light sample substitutes the NEXT segment's direct hit, so
             # it must respect the same bounce budget — otherwise NEE adds a
             # bounce of direct light a finite-bounce path can never collect
             # (measured +11% mean at bounces=4 on Cornell before this gate)
             diffuse_lane = shading & ~is_specular & ~is_glass \
                 & (bounce + 1 <= bounces)
-            ok = diffuse_lane & unocc & (cos_s > 0.0) & (cos_l > 0.0)
-            rad4 = jnp.concatenate([row[:, 13:16],
-                                    jnp.zeros((B, 1))], axis=1)
-            contrib = trans * color * rad4 * geom[:, None]
-            incoming_n = incoming_n + jnp.where(ok[:, None], contrib, 0.0)
-            nee_bit = diffuse_lane
+            potential = diffuse_lane & (cos_s > 0.0) & (cos_l > 0.0)
+            contrib3 = (trans * color)[:, :3] * row[:, 13:16] * geom[:, None]
+            if nee_mode == 1:
+                W_s, _, _, _, _ = segment_prepass(hit["point"], d_s)
+                unocc = W_s[:, 0] >= t_l * (1.0 - 1e-3)
+                ok = potential & unocc
+                incoming_n = incoming_n + jnp.concatenate(
+                    [jnp.where(ok[:, None], contrib3, 0.0),
+                     jnp.zeros((B, 1))], axis=1)
+                nee_state = diffuse_lane.astype(jnp.int32)   # bit0 only
 
         trans_n = trans * jnp.where(is_specular[:, None],
                                     m["specular_color"], color)
@@ -910,7 +930,48 @@ def _make_parts(scene: RenderScene, B: int, bounces: int, skybox: bool,
         next_bounce = bounce + 1
         continues_path = at_b & started & shading & survive \
             & (next_bounce <= bounces)
-        return o, d, trans, incoming, seed, continues_path, nee_bit
+
+        if nee_mode == 2:
+            # ---- shadow segments through the ordinary machinery -------
+            # A shadow ray IS a segment: the diffuse bounce redirects the
+            # lane onto (hit_point -> light sample) with the continuation
+            # ray + pending contribution stashed in F[:, 14:24]; the next
+            # boundary (shadow RESUME) answers occlusion from the
+            # segment's own best distance, banks the contribution, and
+            # restores the stashed ray. bounce does not advance across the
+            # shadow leg (the boundary pins it via bit1).
+            cont_o, cont_d = o, d          # the bounce ray (stash source)
+            resume = at_b & in_shadow
+            t_prev = F[:, 23]
+            unocc_r = W[:, 0] >= t_prev * (1.0 - 1e-3)
+            incoming = incoming + jnp.concatenate(
+                [jnp.where((resume & unocc_r)[:, None], F[:, 20:23], 0.0),
+                 jnp.zeros((B, 1))], axis=1)
+            o = jnp.where(resume[:, None], F[:, 14:17], o)
+            d = jnp.where(resume[:, None], F[:, 17:20], d)
+            resume_cont = resume & ((I[:, I_NEE] & 4) != 0)
+
+            start_shadow = potential   # ⊆ shading ⊆ ~in_shadow
+            cont_bit = continues_path  # the path decision, stashed as bit2
+            o = jnp.where(start_shadow[:, None], hit["point"], o)
+            d = jnp.where(start_shadow[:, None], d_s, d)
+            nee_stash = jnp.where(
+                start_shadow[:, None],
+                jnp.concatenate([cont_o, cont_d, contrib3, t_l[:, None]],
+                                axis=1),
+                F[:, 14:24])
+            continues_path = jnp.where(
+                start_shadow, True,
+                jnp.where(resume, resume_cont, continues_path))
+            st = jnp.where(at_b & started, 0, I[:, I_NEE])
+            st = jnp.where(diffuse_lane, 1, st)   # suppress-next armed
+            st = jnp.where(start_shadow,
+                           3 + 4 * cont_bit.astype(jnp.int32), st)
+            st = jnp.where(resume, 1, st)
+            nee_state = st
+
+        return (o, d, trans, incoming, seed, continues_path, nee_state,
+                nee_stash)
 
     # ---------------------------------------- segment prepass --------
     def segment_prepass(o, d):
@@ -1040,7 +1101,9 @@ def _make_parts(scene: RenderScene, B: int, bounces: int, skybox: bool,
         (wide_enter) — no root-row gather."""
         W_new, M_new, seg_tri2, seg_mat2, seg_flag = segment_prepass(o, d)
         sb = starts[:, None]
-        F = jnp.concatenate([o, d, trans, incoming], axis=1)
+        # F[:, 14:] (the nee_mode-2 shadow stash, width 0 otherwise) is
+        # carried through untouched; the boundary overwrites it afterwards
+        F = jnp.concatenate([o, d, trans, incoming, F[:, 14:]], axis=1)
         if not n_bvh and not sph:
             # bvh/sph branches below write their own (limit-seeded) M
             M = jnp.where(sb, M_new, M)
@@ -1124,7 +1187,8 @@ def _make_parts(scene: RenderScene, B: int, bounces: int, skybox: bool,
                 traversal_step=traversal_step,
                 advance_instance=advance_instance,
                 resolve_and_shade=resolve_and_shade,
-                start_segments=start_segments, stack_depth=D)
+                start_segments=start_segments, stack_depth=D,
+                nee_mode=nee_mode)
 
 
 def _cumsum_i32(x):
@@ -1185,7 +1249,7 @@ def trace_batch_flat(scene: RenderScene, origin, direction, seed, *,
 
     def boundary(F, M, W, I, S):
         at_b = (I[:, I_PTR] >= n_phase) & (I[:, I_BOUNCE] != DONE)
-        o, d, trans, incoming, seed, continues_path, _nee = \
+        o, d, trans, incoming, seed, continues_path, _nee, _stash = \
             parts["resolve_and_shade"](F, W, I, at_b)
         started = I[:, I_BOUNCE] >= 0
         next_bounce = I[:, I_BOUNCE] + 1
@@ -1315,6 +1379,9 @@ def render_persistent(scene: RenderScene, frames, *, width: int, height: int,
 
     F0 = jnp.concatenate([jnp.zeros((B, 6)), jnp.ones((B, 4)),
                           jnp.zeros((B, 4))], axis=1)
+    if parts["nee_mode"] == 2:
+        # shadow-stash columns 14:24 (continuation o/d, contribution, t_l)
+        F0 = jnp.concatenate([F0, jnp.zeros((B, 10))], axis=1)
     M0 = jnp.concatenate([jnp.ones((B, 6)), jnp.full((B, 1), INF),
                           jnp.zeros((B, 3))], axis=1)
     W0 = jnp.concatenate([jnp.full((B, 1), INF), jnp.zeros((B, 11))], axis=1)
@@ -1368,7 +1435,7 @@ def render_persistent(scene: RenderScene, frames, *, width: int, height: int,
 
     def boundary(F, M, W, I, S, A, logv, logp, cursor, wcursor):
         at_b = (I[:, I_PTR] >= n_phase) & (I[:, I_BOUNCE] != DONE)
-        o, d, trans, incoming, seed, continues_path, nee_bit = \
+        o, d, trans, incoming, seed, continues_path, nee_new, nee_stash = \
             parts["resolve_and_shade"](F, W, I, at_b)
         bounce = I[:, I_BOUNCE]
         idle = bounce == IDLE
@@ -1484,18 +1551,27 @@ def render_persistent(scene: RenderScene, frames, *, width: int, height: int,
         starts = continues | restart
         new_bounce = jnp.where(restart, 0,
                                jnp.where(continues, next_bounce, bounce))
+        if nee_new is not None:
+            # a lane STARTING a shadow segment (bit1 of its new state)
+            # keeps its bounce across the shadow leg; the continuation
+            # advances it at the shadow-resume boundary instead
+            shadow_started = nee_commit & ((nee_new & 2) != 0)
+            new_bounce = jnp.where(shadow_started, bounce, new_bounce)
         F, M, W, I, S = parts["start_segments"](F, M, W, I, S, starts, o, d,
                                                 trans, incoming, seed,
                                                 new_bounce)
         I = I.at[:, I_PIXEL].set(pixel)
         I = I.at[:, I_SAMPLE].set(sample_i)
-        if nee_bit is not None:
+        if nee_new is not None:
             # restarted lanes begin a fresh path: primary-hit emission must
             # show, so the suppression bit clears with the restart
             I = I.at[:, I_NEE].set(jnp.where(
-                restart, 0, jnp.where(nee_commit,
-                                      nee_bit.astype(jnp.int32),
-                                      I[:, I_NEE])))
+                restart, 0, jnp.where(nee_commit, nee_new, I[:, I_NEE])))
+        if nee_stash is not None:
+            # stash the continuation ray + pending contribution for lanes
+            # that just started a shadow segment (deferred lanes revert)
+            tail = jnp.where(nee_commit[:, None], nee_stash, F[:, 14:24])
+            F = jnp.concatenate([F[:, :14], tail], axis=1)
         retire = pixel_done & ~got_job
         I = I.at[:, I_BOUNCE].set(jnp.where(retire, DONE, I[:, I_BOUNCE]))
         I = I.at[:, I_PTR].set(jnp.where(retire, n_phase, I[:, I_PTR]))

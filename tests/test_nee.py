@@ -116,3 +116,151 @@ def test_light_table_follows_live_edits():
     # dim the sun to zero: the table empties (NEE compiles out)
     host.edit_material(int(mats[sun]), emission_strength=0.0)
     assert host.render_scene.lights == ()
+
+
+# ---------------------------------------------------------------- mode 2
+
+def _mini_traversal_light_scene():
+    """>1024-tri UV-sphere instance (engages BVH traversal) + floor + a
+    single-sided emissive ceiling quad — the smallest scene that exercises
+    shadow-SEGMENT NEE (nee_mode 2)."""
+    from ray_tracer_2_tpu.math.transform import Transform
+    from ray_tracer_2_tpu.scene.definition import (
+        CameraDescriptor, MaterialDefinition, MeshData, MeshFromData,
+        SceneDefinition)
+
+    lat, lon = 18, 30
+    th = np.linspace(0.0, np.pi, lat + 1)
+    ph = np.linspace(0.0, 2 * np.pi, lon + 1)
+    P = np.stack(np.meshgrid(th, ph, indexing="ij"), axis=-1)
+    xyz = np.stack([np.sin(P[..., 0]) * np.cos(P[..., 1]),
+                    np.cos(P[..., 0]),
+                    np.sin(P[..., 0]) * np.sin(P[..., 1])], axis=-1)
+    quads = []
+    for i in range(lat):
+        for j in range(lon):
+            a, b, c, d = (xyz[i, j], xyz[i + 1, j], xyz[i + 1, j + 1],
+                          xyz[i, j + 1])
+            quads += [[a, b, c], [a, c, d]]
+    soup = np.asarray(quads, np.float32)
+    assert len(soup) > 1024
+
+    def quad(y, s, down):
+        a, b, c, d = ([-s, y, -s], [s, y, -s], [s, y, s], [-s, y, s])
+        tris = [[a, b, c], [a, c, d]] if down else [[a, c, b], [a, d, c]]
+        return np.asarray(tris, np.float32)
+
+    def add_quad(s_def, tris, normal, mat):
+        s_def.add_mesh(Transform(), MeshFromData(MeshData.from_vertices(
+            tris.reshape(-1, 3),
+            np.tile(normal, (len(tris) * 3, 1)).astype(np.float32))), mat)
+
+    s = SceneDefinition()
+    s.set_camera(CameraDescriptor(
+        transform=Transform.cam([0.0, 1.2, 4.0], [0.0, 0.8, 0.0]),
+        fov=45.0, focus_dist=4.0))
+    s.add_mesh(Transform(pos=[0.0, 0.8, 0.0], scale=[0.8] * 3),
+               MeshFromData(MeshData.from_vertices(soup.reshape(-1, 3),
+                                                   soup.reshape(-1, 3))),
+               MaterialDefinition.new().with_color([0.75, 0.35, 0.25, 1.0]))
+    add_quad(s, quad(0.0, 6.0, down=False), [0, 1, 0],
+             MaterialDefinition.new().with_color([0.7, 0.7, 0.7, 1.0]))
+    add_quad(s, quad(3.0, 0.8, down=True), [0, -1, 0],
+             MaterialDefinition.new().emissive([1.0, 0.9, 0.7, 1.0], 14.0))
+    host = instantiate_scene(s)
+    assert any(c > 1024 for _, _, c in host.render_scene.inst_spans)
+    assert len(host.render_scene.lights) == 2
+    return host.render_scene
+
+
+def test_segment_nee_bitequal_to_inline(cornell_rs):
+    """RT2_NEE_SEGMENTS=1 forces the shadow-SEGMENT variant on a
+    no-traversal scene, where it must reproduce the validated inline
+    variant BIT-FOR-BIT (same light draws at the same seed-chain position,
+    same prepass arithmetic for the occlusion answer, bounce pinned across
+    the shadow leg). This is the correctness gate for the whole stash/bit
+    plumbing of nee_mode 2."""
+    import os
+
+    import jax
+
+    inline, _ = _acc(cornell_rs, True, 4, 2, bounces=4)
+    os.environ["RT2_NEE_SEGMENTS"] = "1"
+    try:
+        jax.clear_caches()   # the knob is read at trace time
+        seg, _ = _acc(cornell_rs, True, 4, 2, bounces=4)
+    finally:
+        del os.environ["RT2_NEE_SEGMENTS"]
+        jax.clear_caches()
+    assert (inline == seg).all()
+
+
+def test_segment_nee_on_traversal_scene():
+    """Shadow-segment NEE on a real BVH-traversal scene: the image is
+    finite and lit in the same ballpark as plain path tracing at equal
+    spp (converged agreement is checked offline — scripts-level, CPU
+    traversal renders are too slow for a converged CI gate)."""
+    rs = _mini_traversal_light_scene()
+    W, H = 32, 20
+    plain, _ = _acc(rs, False, 16, 1, bounces=3, W=W, H=H)
+    nee, _ = _acc(rs, True, 16, 1, bounces=3, W=W, H=H)
+    assert np.isfinite(nee).all()
+    mp, mn = plain[..., :3].mean(), nee[..., :3].mean()
+    assert mn > 0.25 * mp and mn < 2.0 * mp, (mp, mn)
+
+
+def test_segment_nee_identical_view_matches_inline():
+    """The far-sphere trick: the same floor+light view rendered once as a
+    no-traversal scene (nee_mode 1, inline occlusion) and once with an
+    off-screen >1024-tri instance added (forces nee_mode 2, shadow
+    segments) must be PIXEL-IDENTICAL — the strongest cross-machinery
+    gate available (seeds derive from pixels; the far instance is outside
+    every ray's reach)."""
+    from ray_tracer_2_tpu.math.transform import Transform
+    from ray_tracer_2_tpu.scene.definition import (
+        CameraDescriptor, MaterialDefinition, MeshData, MeshFromData,
+        SceneDefinition)
+
+    def quad(y, s, down):
+        a, b, c, d = ([-s, y, -s], [s, y, -s], [s, y, s], [-s, y, s])
+        tris = [[a, b, c], [a, c, d]] if down else [[a, c, b], [a, d, c]]
+        return np.asarray(tris, np.float32)
+
+    def build(with_far_instance):
+        s = SceneDefinition()
+        s.set_camera(CameraDescriptor(
+            transform=Transform.cam([0.0, 1.2, 4.0], [0.0, 0.8, 0.0]),
+            fov=45.0, focus_dist=4.0))
+        if with_far_instance:
+            lat, lon = 18, 30
+            th = np.linspace(0.0, np.pi, lat + 1)
+            ph = np.linspace(0.0, 2 * np.pi, lon + 1)
+            P = np.stack(np.meshgrid(th, ph, indexing="ij"), axis=-1)
+            xyz = np.stack([np.sin(P[..., 0]) * np.cos(P[..., 1]),
+                            np.cos(P[..., 0]),
+                            np.sin(P[..., 0]) * np.sin(P[..., 1])], axis=-1)
+            quads = []
+            for i in range(lat):
+                for j in range(lon):
+                    a, b, c, d = (xyz[i, j], xyz[i + 1, j], xyz[i + 1, j + 1],
+                                  xyz[i, j + 1])
+                    quads += [[a, b, c], [a, c, d]]
+            soup = np.asarray(quads, np.float32)
+            s.add_mesh(Transform(pos=[500.0, 0.0, 0.0]),
+                       MeshFromData(MeshData.from_vertices(
+                           soup.reshape(-1, 3), soup.reshape(-1, 3))),
+                       MaterialDefinition.new().with_color([0.5] * 4))
+        for tris, n, mat in (
+                (quad(0.0, 6.0, down=False), [0, 1, 0],
+                 MaterialDefinition.new().with_color([0.7, 0.7, 0.7, 1.0])),
+                (quad(3.0, 0.8, down=True), [0, -1, 0],
+                 MaterialDefinition.new().emissive([1.0, 0.9, 0.7, 1.0],
+                                                   14.0))):
+            s.add_mesh(Transform(), MeshFromData(MeshData.from_vertices(
+                tris.reshape(-1, 3),
+                np.tile(n, (len(tris) * 3, 1)).astype(np.float32))), mat)
+        return instantiate_scene(s).render_scene
+
+    a, _ = _acc(build(False), True, 6, 2, bounces=3, W=40, H=24)
+    b, _ = _acc(build(True), True, 6, 2, bounces=3, W=40, H=24)
+    assert (a == b).all()
