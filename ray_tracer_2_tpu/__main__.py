@@ -128,6 +128,16 @@ def main(argv=None) -> int:
             log.error("checkpoint is for scene %r, requested %r",
                       state["scene_name"], args.scene)
             return 2
+        # the accumulation blends every frame with 1/(f+1) weights — mixing
+        # estimators (different bounces/physics flags) would silently
+        # average two different images
+        for f in ("bounces", "rays_per_pixel", "skybox", "nee", "antialias",
+                  "normal_maps", "debug_mode"):
+            if getattr(rp, f) != getattr(params, f):
+                log.error("checkpoint %s=%r != requested %r — refusing to "
+                          "mix estimators in one accumulation", f,
+                          getattr(rp, f), getattr(params, f))
+                return 2
         renderer.ensure_framebuffer(rp.width, rp.height)
         renderer.framebuffer = jnp.asarray(state["framebuffer"])
         start_frame = rp.frames + 1

@@ -88,13 +88,16 @@ def _extract_lights(records, tri, inst_spans, inst_m2w, inst_mat_deltas,
                     spheres) -> tuple:
     """Static emissive-primitive table for NEE (see RenderScene.lights).
 
-    Triangles come from BRUTE-FORCE instances only (count <= BRUTE_MAX_TRIS
-    of kernels/brute.py — NEE engages only on no-traversal scenes anyway),
-    transformed to world space; spheres directly. Each row carries the
-    RESOLVED radiance (emission_color * strength, the exact term the path
-    tracer adds on a hit, ray_tracer.wgsl:452) and the world-space area
-    that converts the uniform-over-total-area pdf."""
-    from ray_tracer_2_tpu.kernels.brute import BRUTE_MAX_TRIS
+    Emissive triangles come from EVERY instance (brute-force AND
+    BVH-traversal ones — shadow-segment NEE suppresses surface emission
+    after each diffuse bounce, so an emitter missing from this table would
+    silently lose its energy), transformed to world space; spheres
+    directly. Each row carries the RESOLVED radiance (emission_color *
+    strength, the exact term the path tracer adds on a hit,
+    ray_tracer.wgsl:452) and the world-space area that converts the
+    uniform-over-total-area pdf. Scenes with more than MAX_NEE_LIGHTS
+    emissive primitives return () — NEE compiles out entirely (never a
+    truncated, energy-losing table)."""
 
     def emissive(rec):
         return (rec.emission_strength > 0.0
@@ -104,16 +107,20 @@ def _extract_lights(records, tri, inst_spans, inst_m2w, inst_mat_deltas,
         return tuple(float(c) * float(rec.emission_strength)
                      for c in rec.emission_color[:3])
 
+    emissive_ids = np.array([i for i, r in enumerate(records)
+                             if emissive(r)], np.int64)
+    if emissive_ids.size == 0 and not spheres:
+        return ()
     lights = []
+    tri_mat = np.asarray(tri["mat"], np.int64)
     for i, (_, tri_off, count) in enumerate(inst_spans):
-        if count > BRUTE_MAX_TRIS:
-            continue
         m = np.asarray(inst_m2w[i], np.float32)
         delta = inst_mat_deltas[i] if i < len(inst_mat_deltas) else 0
-        for t in range(tri_off, tri_off + count):
-            rec = records[int(tri["mat"][t]) + delta]
-            if not emissive(rec):
-                continue
+        if emissive_ids.size == 0:
+            continue
+        span = tri_mat[tri_off:tri_off + count] + delta
+        for t in (tri_off + np.nonzero(np.isin(span, emissive_ids))[0]):
+            rec = records[int(tri_mat[t]) + delta]
             w = [tuple((m[:3, :3] @ v + m[:3, 3]).tolist())
                  for v in (tri["v0"][t], tri["v1"][t], tri["v2"][t])]
             area = 0.5 * float(np.linalg.norm(
@@ -407,8 +414,18 @@ class HostScene:
         """Re-derive the static NEE light table after a live edit that can
         move or re-color an emissive primitive (emission edits, sphere
         moves, instance transforms). A no-op when the table is unchanged
-        (tuple equality), so non-light edits never trigger a recompile."""
+        (tuple equality), so non-light edits never trigger a recompile.
+        (Editing an actual light with nee ON does recompile — the table is
+        a static jit key; acceptable for inspector edits, same cost class
+        as a glass-flag toggle.)"""
         rs = self.render_scene
+        if not rs.lights and not any(
+                r.emission_strength > 0.0 and max(r.emission_color[:3]) > 0.0
+                for r in self.records):
+            # nothing emissive before or after the edit: skip the device
+            # readback entirely (the common case — e.g. every gizmo drag
+            # tick on a light-free scene)
+            return
         tri = {"v0": np.asarray(rs.tri_v0), "v1": np.asarray(rs.tri_v1),
                "v2": np.asarray(rs.tri_v2), "mat": np.asarray(rs.tri_mat)}
         m2w = list(np.asarray(rs.inst_model_to_world))

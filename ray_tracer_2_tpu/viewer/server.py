@@ -58,7 +58,8 @@ class ViewerServer:
         self._httpd: ThreadingHTTPServer | None = None
         self._selected: dict | None = None   # {"kind","index"} gizmo target
         self._drag_ctx: dict | None = None   # depth plane + grab offset
-        self._aabb_cache: dict = {}          # (scene id, inst) -> (lo, hi)
+        self._aabb_cache: dict = {}          # inst index -> (lo, hi)
+        self._aabb_scene = None              # HostScene the cache belongs to
 
     # ------------------------------------------------------- render loop
 
@@ -182,7 +183,14 @@ class ViewerServer:
         return origin, d / np.linalg.norm(d)
 
     def _inst_aabb(self, scene, i: int):
-        key = (id(scene), i)
+        # the cache is scoped to ONE HostScene object: _aabb_scene holds a
+        # strong reference (so a freed scene's id can never be reused while
+        # entries exist) and a scene switch clears the dict — no stale
+        # boxes, bounded size (review finding)
+        if self._aabb_scene is not scene:
+            self._aabb_cache.clear()
+            self._aabb_scene = scene
+        key = i
         box = self._aabb_cache.get(key)
         if box is None:
             rs = scene.render_scene
@@ -484,7 +492,13 @@ class ViewerServer:
                                     {"pong": msg["ping"]}))
                                 continue
                             t0 = time.perf_counter()
-                            viewer.handle_input(msg)
+                            try:
+                                viewer.handle_input(msg)
+                            except Exception:
+                                # bad client input (malformed pick/drag/
+                                # edit payloads) must not kill the input
+                                # channel — match the POST /input policy
+                                log.exception("bad /ws input: %r", msg)
                             viewer._input_ms = \
                                 (time.perf_counter() - t0) * 1e3
                     except (OSError, ValueError):

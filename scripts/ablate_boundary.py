@@ -68,7 +68,8 @@ def main():
     # --- shade ---
     def t_shade(_, st):
         F, W, I = st
-        o, d, tr, inc, seed, cont = parts["resolve_and_shade"](F, W, I, at_b)
+        o, d, tr, inc, seed, cont, _nee, _stash = \
+            parts["resolve_and_shade"](F, W, I, at_b)
         F2 = jnp.concatenate([o, d, tr, inc], axis=1)
         return F2, W, I
     print(f"shade          : {bench(loop(t_shade), (F, W, I))*1e6:7.1f} us", flush=True)

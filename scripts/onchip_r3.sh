@@ -2,7 +2,7 @@
 # Round-3 on-chip session runbook, ONE python process per phase (the axon
 # relay warmup dominates; never run two TPU processes concurrently).
 # Usage: bash scripts/onchip_r3.sh   (on a host with the TPU relay up)
-set -u
+set -euo pipefail
 cd "$(dirname "$0")/.."
 echo "== 1/4 Mosaic smoke gate =="
 timeout 1800 python bench.py --smoke | tail -1

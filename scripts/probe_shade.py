@@ -181,7 +181,8 @@ def main():
     # --- full shade ---
     def t_full(_, st):
         F_, W_, I_ = st
-        o, d, tr, inc, seed, cont = parts["resolve_and_shade"](F_, W_, I_, at_b)
+        o, d, tr, inc, seed, cont, _nee, _stash = \
+            parts["resolve_and_shade"](F_, W_, I_, at_b)
         F2 = jnp.concatenate([o, d, tr, inc], axis=1)
         return F2, W_, I_
     bench(loop(t_full), (F, W, I), "full")

@@ -60,3 +60,20 @@ def test_cli_resume_rejects_mismatched_resolution(tmp_path):
 def test_cli_unknown_scene_errors():
     with pytest.raises(SystemExit):
         cli_main(["--scene", "nope", "--spp", "1"])
+
+
+def test_cli_resume_rejects_mismatched_estimator(tmp_path):
+    """Resuming with different physics flags would blend two estimators
+    into one accumulation — must refuse (review finding)."""
+    out = tmp_path / "c.png"
+    ck = tmp_path / "c.ckpt.npz"
+    assert cli_main(["--scene", "metal", "--spp", "2", "--width", str(W),
+                     "--height", str(H), "--bounces", "2", "-o", str(out),
+                     "--checkpoint", str(ck), "--log-every", "0"]) == 0
+    for extra in (["--bounces", "3"], ["--bounces", "2", "--antialias"],
+                  ["--bounces", "2", "--rpp", "2"]):
+        rc = cli_main(["--scene", "metal", "--spp", "4", "--width", str(W),
+                       "--height", str(H), "-o", str(out),
+                       "--checkpoint", str(ck), "--resume",
+                       "--log-every", "0", *extra])
+        assert rc == 2, extra

@@ -72,15 +72,33 @@ def test_nee_unbiased_and_lower_variance(cornell_rs):
     assert vp / vn > 3.0, (vp, vn)
 
 
-def test_nee_noop_on_traversal_scenes(assets):
-    """Scenes with a BVH traversal phase ignore the flag entirely (the
-    static gate compiles the same program): bit-identical output."""
+def test_nee_noop_without_lights(assets):
+    """Scenes with NO emissive primitives ignore the flag entirely (the
+    static gate compiles the same program): bit-identical output — on a
+    traversal scene (dragon without obj_test's emissive quad) and on a
+    sphere scene (metal)."""
     from tests.conftest import require_asset
     require_asset(assets, "dragon.obj")
-    rs = instantiate_scene(scenes.obj_test()).render_scene
+    from ray_tracer_2_tpu.math.transform import Transform
+    from ray_tracer_2_tpu.scene.definition import (CameraDescriptor,
+                                                   MaterialDefinition,
+                                                   MeshFromFile,
+                                                   SceneDefinition)
+    s = SceneDefinition()
+    s.set_camera(CameraDescriptor(
+        transform=Transform.cam([5.0, 0.0, 0.0], [1.0, 0.0, 0.0]),
+        fov=45.0, focus_dist=1.0))
+    s.add_mesh(Transform(), MeshFromFile("dragon.obj", use_mtl=False),
+               MaterialDefinition.new())
+    rs = instantiate_scene(s).render_scene
+    assert rs.lights == () and any(c > 1024 for _, _, c in rs.inst_spans)
     a, _ = _acc(rs, False, 2, 1, bounces=2)
     b, _ = _acc(rs, True, 2, 1, bounces=2)
     assert (a == b).all()
+    metal = instantiate_scene(scenes.metal()).render_scene
+    c, _ = _acc(metal, False, 2, 1, bounces=2)
+    d, _ = _acc(metal, True, 2, 1, bounces=2)
+    assert (c == d).all()
 
 
 def test_nee_off_matches_default(cornell_rs):
@@ -264,3 +282,55 @@ def test_segment_nee_identical_view_matches_inline():
     a, _ = _acc(build(False), True, 6, 2, bounces=3, W=40, H=24)
     b, _ = _acc(build(True), True, 6, 2, bounces=3, W=40, H=24)
     assert (a == b).all()
+
+
+def test_lights_inside_traversal_instances_are_sampled():
+    """Emissive triangles inside a BVH-traversal instance must appear in
+    the light table: shadow-segment NEE suppresses surface emission after
+    every diffuse bounce, so an emitter missing from the table would
+    silently lose its energy (review finding, fixed by extracting lights
+    from every instance)."""
+    from ray_tracer_2_tpu.math.transform import Transform
+    from ray_tracer_2_tpu.scene.definition import (
+        CameraDescriptor, MaterialDefinition, MeshData, MeshFromData,
+        SceneDefinition)
+
+    lat, lon = 18, 30
+    th = np.linspace(0.0, np.pi, lat + 1)
+    ph = np.linspace(0.0, 2 * np.pi, lon + 1)
+    P = np.stack(np.meshgrid(th, ph, indexing="ij"), axis=-1)
+    xyz = np.stack([np.sin(P[..., 0]) * np.cos(P[..., 1]),
+                    np.cos(P[..., 0]),
+                    np.sin(P[..., 0]) * np.sin(P[..., 1])], axis=-1)
+    quads = []
+    for i in range(lat):
+        for j in range(lon):
+            a, b, c, d = (xyz[i, j], xyz[i + 1, j], xyz[i + 1, j + 1],
+                          xyz[i, j + 1])
+            quads += [[a, b, c], [a, c, d]]
+    soup = (np.asarray(quads, np.float32) * 0.8
+            + np.array([0, 0.8, 0], np.float32))
+
+    s = SceneDefinition()
+    s.set_camera(CameraDescriptor(
+        transform=Transform.cam([0.0, 1.2, 4.0], [0.0, 0.8, 0.0]),
+        fov=45.0, focus_dist=4.0))
+    T = Transform()   # same transform ⇒ both meshes merge into ONE
+    s.add_mesh(T, MeshFromData(MeshData.from_vertices(
+        soup.reshape(-1, 3), soup.reshape(-1, 3))),
+        MaterialDefinition.new().with_color([0.75, 0.35, 0.25, 1.0]))
+    lt = np.asarray([[[-0.8, 3, -0.8], [0.8, 3, -0.8], [0.8, 3, 0.8]],
+                     [[-0.8, 3, -0.8], [0.8, 3, 0.8], [-0.8, 3, 0.8]]],
+                    np.float32)
+    s.add_mesh(T, MeshFromData(MeshData.from_vertices(
+        lt.reshape(-1, 3), np.tile([0, -1, 0], (6, 1)).astype(np.float32))),
+        MaterialDefinition.new().emissive([1.0, 0.9, 0.7, 1.0], 14.0))
+    rs = instantiate_scene(s).render_scene
+    # one merged >1024-tri instance (BVH traversal) holding the 2 light tris
+    assert len(rs.inst_spans) == 1 and rs.inst_spans[0][2] > 1024
+    assert len(rs.lights) == 2
+    # and the energy is actually collected: NEE ballparks plain at equal spp
+    plain, _ = _acc(rs, False, 12, 1, bounces=3, W=32, H=20)
+    nee, _ = _acc(rs, True, 12, 1, bounces=3, W=32, H=20)
+    mp, mn = plain[..., :3].mean(), nee[..., :3].mean()
+    assert mn > 0.4 * mp and mn < 2.0 * mp, (mp, mn)

@@ -113,3 +113,36 @@ def test_pick_instance_aabb():
     # the Room's central view hits the room geometry (instance 0)
     vs.handle_input({"pick": [0.5, 0.85]})   # floor, below centre
     assert vs._selected is not None
+
+
+def test_aabb_cache_invalidated_on_scene_switch():
+    """The instance-AABB pick cache must not serve boxes from a previous
+    scene after a scene switch (review finding: id() reuse after gc)."""
+    eng = Engine(width=64, height=36, initial_scene=SceneName.ROOM,
+                 block_on_initial_scene=True)
+    eng.update(dt=0.01)
+    vs = ViewerServer(eng)
+    scene_a = eng.scene_manager.scene
+    box_a = vs._inst_aabb(scene_a, 0)
+    assert box_a is not None and len(vs._aabb_cache) == 1
+    eng.scene_manager.load_blocking(SceneName.ROOM)   # fresh HostScene
+    eng.update(dt=0.01)
+    scene_b = eng.scene_manager.scene
+    assert scene_b is not scene_a
+    vs.handle_input({"pick": [0.5, 0.85]})   # touches _inst_aabb again
+    assert vs._aabb_scene is scene_b
+    assert all(isinstance(k, int) for k in vs._aabb_cache)
+
+
+def test_malformed_pick_drag_payloads_do_not_crash(viewer):
+    """Garbage pick/drag/edit payloads must not raise out of handle_input
+    at the WS layer (the /ws loop logs and continues — review finding)."""
+    import logging
+    for bad in ({"pick": 5}, {"pick": [0.3]}, {"drag": "x"},
+                {"edit_entity": {"kind": "sphere", "index": "zz"}}):
+        try:
+            viewer.handle_input(bad)
+        except Exception:
+            pass  # raising is allowed at this level...
+    # ...but a subsequent valid message must still work end to end
+    viewer.handle_input({"pick": [0.5, 0.5]})
