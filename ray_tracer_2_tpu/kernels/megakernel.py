@@ -853,39 +853,70 @@ def _make_parts(scene: RenderScene, B: int, bounces: int, skybox: bool,
             onehot = (jnp.arange(nL, dtype=jnp.int32)[None, :]
                       == idx[:, None]).astype(jnp.float32)
             row = jnp.dot(onehot, tbl, precision=jax.lax.Precision.HIGHEST)
-            is_sph_l = (row[:, 0] > 0.5)[:, None]
-            # triangle: uniform barycentric (sqrt warp)
+            is_sph = row[:, 0] > 0.5
+            is_sph_l = is_sph[:, None]
+            # triangle: uniform barycentric (sqrt warp); estimator
+            # cos_l * A_total / (2 pi d^2), single-sided per the winding
             su = jnp.sqrt(r1)
             p_tri = (row[:, 1:4] * (1.0 - su)[:, None]
                      + row[:, 4:7] * (su * (1.0 - r2))[:, None]
                      + row[:, 7:10] * (su * r2)[:, None])
-            # sphere: uniform area over the whole surface (back-facing
-            # samples are killed by the occlusion test through the light
-            # sphere's own front surface)
-            z = 1.0 - 2.0 * r1
-            s_r = jnp.sqrt(jnp.maximum(1.0 - z * z, 0.0))
-            phi = (2.0 * math.pi) * r2
-            n_sph = jnp.stack([s_r * jnp.cos(phi), s_r * jnp.sin(phi), z],
-                              axis=1)
-            radius_l = row[:, 4:5]      # sphere rows carry radius in v1.x
-            p_l = jnp.where(is_sph_l, row[:, 1:4] + n_sph * radius_l, p_tri)
-            n_l = jnp.where(is_sph_l, n_sph, row[:, 10:13])
-
-            dvec = p_l - hit["point"]
+            dvec = p_tri - hit["point"]
             d2 = dot(dvec, dvec)
-            t_l = jnp.sqrt(jnp.maximum(d2, 1e-12))
-            d_s = dvec / t_l[:, None]
-            cos_s = dot(normal, d_s)
-            cos_l = -dot(n_l, d_s)
-            geom = cos_l * (total_area / (2.0 * math.pi)) \
+            t_tri = jnp.sqrt(jnp.maximum(d2, 1e-12))
+            d_tri = dvec / t_tri[:, None]
+            cos_l = -dot(row[:, 10:13], d_tri)
+            geom_tri = cos_l * (total_area / (2.0 * math.pi)) \
                 / jnp.maximum(d2, 1e-12)
+            # sphere: CONE sampling toward the subtended solid angle. With
+            # the uniform-hemisphere BRDF convention the unoccluded
+            # estimator is exactly albedo * Le * (1 - cos_max) (times the
+            # area-pick compensation A_total / 4 pi r^2) — zero magnitude
+            # variance, and no wasted back-side draws (uniform-AREA
+            # sampling measured NOISIER than plain path tracing on the
+            # balls scene's huge sun, scripts/validate_nee.py).
+            radius_l = row[:, 4]        # sphere rows carry radius in v1.x
+            cvec = row[:, 1:4] - hit["point"]
+            cd2 = jnp.maximum(dot(cvec, cvec), 1e-12)
+            cdist = jnp.sqrt(cd2)
+            w_ax = cvec / cdist[:, None]
+            sin_max = jnp.clip(radius_l / cdist, 0.0, 1.0)
+            cos_max = jnp.sqrt(jnp.maximum(1.0 - sin_max * sin_max, 0.0))
+            cos_t = 1.0 - r1 * (1.0 - cos_max)
+            sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0))
+            phi = (2.0 * math.pi) * r2
+            helper = jnp.where((jnp.abs(w_ax[:, 0]) > 0.9)[:, None],
+                               jnp.asarray([0.0, 1.0, 0.0])[None, :],
+                               jnp.asarray([1.0, 0.0, 0.0])[None, :])
+            u_b = normalize(jnp.cross(helper, w_ax))
+            v_b = jnp.cross(w_ax, u_b)
+            d_sph = normalize(w_ax * cos_t[:, None]
+                              + (u_b * jnp.cos(phi)[:, None]
+                                 + v_b * jnp.sin(phi)[:, None])
+                              * sin_t[:, None])
+            h_q = dot(d_sph, cvec)
+            disc = jnp.maximum(h_q * h_q - (cd2 - radius_l * radius_l), 0.0)
+            t_sph = h_q - jnp.sqrt(disc)
+            geom_sph = (1.0 - cos_max) * total_area \
+                / jnp.maximum(4.0 * math.pi * radius_l * radius_l, 1e-12)
+            # a vertex INSIDE an emissive sphere cannot be cone-sampled:
+            # skip the sample AND the emission suppression for it (the
+            # BSDF path keeps collecting that light)
+            sph_valid = cdist > radius_l * 1.001
+
+            d_s = jnp.where(is_sph_l, d_sph, d_tri)
+            t_l = jnp.where(is_sph, t_sph, t_tri)
+            cos_s = dot(normal, d_s)
+            geom = jnp.where(is_sph, geom_sph, geom_tri)
             # the light sample substitutes the NEXT segment's direct hit, so
             # it must respect the same bounce budget — otherwise NEE adds a
             # bounce of direct light a finite-bounce path can never collect
             # (measured +11% mean at bounces=4 on Cornell before this gate)
             diffuse_lane = shading & ~is_specular & ~is_glass \
                 & (bounce + 1 <= bounces)
-            potential = diffuse_lane & (cos_s > 0.0) & (cos_l > 0.0)
+            samplable = jnp.where(is_sph, sph_valid, cos_l > 0.0)
+            diffuse_lane = diffuse_lane & (~is_sph | sph_valid)
+            potential = diffuse_lane & (cos_s > 0.0) & samplable
             contrib3 = (trans * color)[:, :3] * row[:, 13:16] * geom[:, None]
             if nee_mode == 1:
                 W_s, _, _, _, _ = segment_prepass(hit["point"], d_s)

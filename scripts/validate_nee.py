@@ -7,11 +7,10 @@ per-sample variance ratio. Expected (CPU, ~20-40 min total):
 
   cornell  (nee_mode 1, inline occlusion):   ratio ~0.999, var 6-100x
   traversal (nee_mode 2, shadow segments):   ratio ~1.01,  var ~3x
-  balls    (sphere light):                   ratio ~0.997, var <1x — NEE
-           is unbiased but NOISIER here: uniform-area sampling of the
-           huge (r=15) sun wastes half its draws on the back side while
-           plain rays find a 2800-unit-area light easily. NEE pays off
-           on small/enclosed lights; it is a per-scene toggle.
+  balls    (sphere light, cone-sampled):     ratio ~1.000, var ~1.1x
+           (sphere lights use CONE sampling: the unoccluded estimator is
+           exactly albedo*Le*(1-cos_max) — zero magnitude variance; the
+           residual noise is indirect light, which NEE cannot touch).
 
 Run: env PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu python scripts/validate_nee.py
 """
