@@ -100,8 +100,12 @@ def _extract_lights(records, tri, inst_spans, inst_m2w, inst_mat_deltas,
     truncated, energy-losing table)."""
 
     def emissive(rec):
+        # GLASS surfaces never add their emission in the BSDF path (the
+        # glass branch bypasses incoming_n, matching the reference) — an
+        # emissive-glass material must not become an NEE light either
         return (rec.emission_strength > 0.0
-                and max(rec.emission_color[:3]) > 0.0)
+                and max(rec.emission_color[:3]) > 0.0
+                and int(rec.flag) != 1)
 
     def radiance(rec):
         return tuple(float(c) * float(rec.emission_strength)
@@ -119,10 +123,17 @@ def _extract_lights(records, tri, inst_spans, inst_m2w, inst_mat_deltas,
         if emissive_ids.size == 0:
             continue
         span = tri_mat[tri_off:tri_off + count] + delta
+        # a mirrored transform (det < 0) flips the world-space winding
+        # relative to the model-space backface cull: swap v1/v2 so the
+        # kernel's -dot(cross(v1-v0, v2-v0), d) > 0 front test keeps
+        # matching the side BSDF rays can actually hit
+        mirrored = float(np.linalg.det(m[:3, :3].astype(np.float64))) < 0.0
         for t in (tri_off + np.nonzero(np.isin(span, emissive_ids))[0]):
             rec = records[int(tri_mat[t]) + delta]
             w = [tuple((m[:3, :3] @ v + m[:3, 3]).tolist())
                  for v in (tri["v0"][t], tri["v1"][t], tri["v2"][t])]
+            if mirrored:
+                w[1], w[2] = w[2], w[1]
             area = 0.5 * float(np.linalg.norm(
                 np.cross(np.subtract(w[1], w[0]), np.subtract(w[2], w[0]))))
             if area <= 0.0:
@@ -137,6 +148,10 @@ def _extract_lights(records, tri, inst_spans, inst_m2w, inst_mat_deltas,
                        float(radius), 0.0, 0.0, 0.0, 0.0, 0.0,
                        *radiance(rec), area))
     if len(lights) > MAX_NEE_LIGHTS:
+        log.warning(
+            "scene has %d emissive primitives (> MAX_NEE_LIGHTS=%d): "
+            "next-event estimation is DISABLED for it (a truncated table "
+            "would lose energy)", len(lights), MAX_NEE_LIGHTS)
         return ()
     return tuple(lights)
 
@@ -245,8 +260,8 @@ class RenderScene:
     #: world-space triangle (3 verts), kind 1 = sphere (row 1 = centre,
     #: row 2.x = radius, verts 1/2 otherwise unused). Hashable floats; the
     #: kernel folds them into compile-time constants. Empty ⇒ NEE disabled
-    #: for the scene. Brute-force instances + spheres only (NEE engages
-    #: only on no-traversal scenes).
+    #: for the scene. Extracted from EVERY instance (brute and BVH) plus
+    #: spheres — shadow-segment NEE covers traversal scenes too.
     lights: tuple = dataclasses.field(metadata=dict(static=True),
                                       default=())
     #: STATIC material-class summary ("glass"/"texture"/"normal_map" subset):

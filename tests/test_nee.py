@@ -284,6 +284,91 @@ def test_segment_nee_identical_view_matches_inline():
     assert (a == b).all()
 
 
+def test_emissive_glass_is_not_a_light():
+    """An emissive GLASS material never contributes its emission in the
+    BSDF path (the glass branch bypasses the emission term entirely,
+    matching the reference's shader structure, ray_tracer.wgsl:407-436) —
+    so it must not enter the NEE light table either, where it would ADD
+    energy plain path tracing never sees."""
+    from ray_tracer_2_tpu.math.transform import Transform
+    from ray_tracer_2_tpu.scene.definition import (CameraDescriptor,
+                                                   MaterialDefinition,
+                                                   SceneDefinition)
+    s = SceneDefinition()
+    s.set_camera(CameraDescriptor(
+        transform=Transform.cam([0.0, 1.0, 4.0], [0.0, 1.0, 0.0]),
+        fov=45.0, focus_dist=4.0))
+    glass_sun = MaterialDefinition.new().emissive(
+        [1.0, 0.9, 0.7, 1.0], 10.0).glass(1.5)
+    s.add_sphere([0.0, 3.0, 0.0], 0.5, glass_sun)
+
+    def quad(y, sz, down):
+        a, b, c, d = ([-sz, y, -sz], [sz, y, -sz], [sz, y, sz], [-sz, y, sz])
+        tris = [[a, b, c], [a, c, d]] if down else [[a, c, b], [a, d, c]]
+        return np.asarray(tris, np.float32)
+
+    from ray_tracer_2_tpu.scene.definition import MeshData, MeshFromData
+    tris = quad(2.0, 0.5, down=True)
+    s.add_mesh(Transform(), MeshFromData(MeshData.from_vertices(
+        tris.reshape(-1, 3),
+        np.tile([0, -1, 0], (6, 1)).astype(np.float32))), glass_sun)
+    rs = instantiate_scene(s).render_scene
+    assert rs.lights == ()   # neither the sphere nor the quad qualifies
+
+
+def test_mirrored_instance_light_winding():
+    """A mirrored instance transform (negative determinant) flips the
+    world-space winding relative to the model-space backface cull. The
+    light row must carry the verts SWAPPED so its front side — the
+    kernel's -dot(cross(v1-v0, v2-v0), d) > 0 test — still faces where
+    BSDF rays can actually hit; otherwise NEE samples the dark side and
+    silently loses the light's energy."""
+    from ray_tracer_2_tpu.math.transform import Transform
+    from ray_tracer_2_tpu.scene.definition import (
+        CameraDescriptor, MaterialDefinition, MeshData, MeshFromData,
+        SceneDefinition)
+
+    def quad(y, sz, down):
+        a, b, c, d = ([-sz, y, -sz], [sz, y, -sz], [sz, y, sz], [-sz, y, sz])
+        tris = [[a, b, c], [a, c, d]] if down else [[a, c, b], [a, d, c]]
+        return np.asarray(tris, np.float32)
+
+    def build(mirror):
+        s = SceneDefinition()
+        s.set_camera(CameraDescriptor(
+            transform=Transform.cam([0.0, 1.2, 4.0], [0.0, 0.8, 0.0]),
+            fov=45.0, focus_dist=4.0))
+        floor = quad(0.0, 6.0, down=False)
+        s.add_mesh(Transform(), MeshFromData(MeshData.from_vertices(
+            floor.reshape(-1, 3),
+            np.tile([0, 1, 0], (6, 1)).astype(np.float32))),
+            MaterialDefinition.new().with_color([0.7, 0.7, 0.7, 1.0]))
+        lt = quad(3.0, 0.8, down=True)   # model-space front faces DOWN
+        T = Transform(scale=[-1.0, 1.0, 1.0]) if mirror else Transform()
+        s.add_mesh(T, MeshFromData(MeshData.from_vertices(
+            lt.reshape(-1, 3),
+            np.tile([0, -1, 0], (6, 1)).astype(np.float32))),
+            MaterialDefinition.new().emissive([1.0, 0.9, 0.7, 1.0], 14.0))
+        return instantiate_scene(s).render_scene
+
+    for mirror in (False, True):
+        rs = build(mirror)
+        assert len(rs.lights) == 2
+        for L in rs.lights:
+            v0, v1, v2 = (np.asarray(L[1:4]), np.asarray(L[4:7]),
+                          np.asarray(L[7:10]))
+            n = np.cross(v1 - v0, v2 - v0)
+            # front side must face DOWN (toward the floor) either way
+            assert n[1] < 0.0, (mirror, n)
+        # and the energy actually arrives: NEE ballparks plain at equal
+        # spp (with the un-swapped winding the light samples all fail the
+        # front test and the NEE image goes dark)
+        plain, _ = _acc(rs, False, 12, 1, bounces=3, W=32, H=20)
+        nee, _ = _acc(rs, True, 12, 1, bounces=3, W=32, H=20)
+        mp, mn = plain[..., :3].mean(), nee[..., :3].mean()
+        assert mn > 0.4 * mp and mn < 2.0 * mp, (mirror, mp, mn)
+
+
 def test_lights_inside_traversal_instances_are_sampled():
     """Emissive triangles inside a BVH-traversal instance must appear in
     the light table: shadow-segment NEE suppresses surface emission after
