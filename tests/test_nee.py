@@ -284,6 +284,97 @@ def test_segment_nee_identical_view_matches_inline():
     assert (a == b).all()
 
 
+def test_sphere_light_cone_nee_deterministic_and_analytic():
+    """Cone sampling toward a sphere light's subtended solid angle makes
+    the unoccluded NEE estimator's MAGNITUDE exact: with a single sphere
+    light, no skybox and bounces=1 every path's contribution magnitude is
+    deterministic (the random bounce leg only reaches suppressed emission
+    or black), so each pixel's raw per-frame value must sit exactly ON
+    the closed form — Le on the light's silhouette, albedo * Le *
+    (1 - cos_max) on the floor (area-pick compensation is 1 for a single
+    light) — or, rarely, on 0 when a tangent-grazing shadow sample flips
+    the f32 occlusion test."""
+    from ray_tracer_2_tpu.math.transform import Transform
+    from ray_tracer_2_tpu.scene.definition import (CameraDescriptor,
+                                                   MaterialDefinition,
+                                                   SceneDefinition)
+    from tests import oracle
+
+    albedo = np.array([0.6, 0.55, 0.5])
+    Le = np.array([1.0, 0.9, 0.7]) * 10.0
+    LC, LR = np.array([0.0, 2.0, 0.0]), 0.5
+    s = SceneDefinition()
+    s.set_camera(CameraDescriptor(
+        transform=Transform.cam([0.0, 6.0, 1.5], [0.0, 0.0, 0.0]),
+        fov=25.0, focus_dist=5.0))
+    # camera steep enough that every ray hits the floor within ~5 units of
+    # the origin — there the WHOLE sampling cone sits far above the local
+    # horizon (cos_s > 0 for every draw), which is what makes the
+    # estimator per-pixel deterministic; grazing floor hits would flip
+    # cos_s sample-to-sample and re-randomize the magnitude
+    # specular MUST be 0: MaterialDefinition.new()'s default 0.1 makes a
+    # random 10% of bounces specular — those lanes skip NEE (and keep
+    # their emission unsuppressed), re-randomizing the pixel
+    s.add_sphere([0.0, -100.0, 0.0], 100.0,
+                 MaterialDefinition(color=(*albedo, 1.0)))
+    s.add_sphere(LC.tolist(), float(LR),
+                 MaterialDefinition(emission_color=(1.0, 0.9, 0.7, 1.0),
+                                    emission_strength=10.0))
+    rs = instantiate_scene(s).render_scene
+    assert len(rs.lights) == 1 and rs.lights[0][0] == 1
+
+    W, H = 40, 24
+    f0, per = _acc(rs, True, 4, 1, bounces=1, W=W, H=H, collect=True)
+    # reconstruct the RAW per-frame renders from the accumulation chain
+    raws = [per[0]] + [per[f] * (f + 1) - per[f - 1] * f
+                       for f in range(1, len(per))]
+
+    # (b) closed form per pixel, camera rays via the oracle's exact math
+    spheres = oracle.spheres_from_scene(rs)
+    cam = oracle.camera_from_scene(rs)
+    m = np.asarray(cam["cam_to_world"], np.float64)
+    vp = np.asarray(cam["view_params"], np.float64)
+    exp = np.zeros((H, W, 3))
+    for y in range(H):
+        for x in range(W):
+            lf = np.array([(x / (W - 1) - 0.5) * vp[0],
+                           (y / (H - 1) - 0.5) * vp[1], vp[2]])
+            o = m[:3, 3]
+            d = m[:3, :3] @ lf
+            d = d / np.linalg.norm(d)
+            h = oracle.closest_hit(spheres, o.astype(np.float32),
+                                   d.astype(np.float32))
+            if h is None:
+                continue
+            if h["mat"]["emission_strength"] > 0:
+                exp[y, x] = Le
+                continue
+            cvec = LC - np.asarray(h["point"], np.float64)
+            dl = np.linalg.norm(cvec)
+            if np.dot(np.asarray(h["normal"], np.float64), cvec / dl) <= 0:
+                continue
+            cos_max = np.sqrt(max(1.0 - (LR / dl) ** 2, 0.0))
+            exp[y, x] = albedo * Le * (1.0 - cos_max)
+    # Every RAW frame value sits on the TWO-POINT support {expected, 0}:
+    # the cone sampler's magnitude is exact (any estimator bias would miss
+    # the expected point on every sample), and the only randomness left is
+    # a rare occlusion flip when a cone-edge shadow sample grazes the
+    # sphere tangentially (sqrt amplifies f32 noise in the discriminant,
+    # flipping unocc) — which zeroes the pixel for that frame, never
+    # shifts it. >= 97% of samples must land ON the expected point.
+    tol = 1e-3 + 2e-3 * np.abs(exp).max(axis=-1)   # (H, W)
+    on_exp = np.zeros((len(raws), H, W), bool)
+    on_zero = np.zeros_like(on_exp)
+    for f, raw in enumerate(raws):
+        err = np.abs(raw[..., :3].astype(np.float64) - exp).max(axis=-1)
+        # accumulation-chain reconstruction adds ~(f+1) ulps of slack
+        on_exp[f] = err <= tol * (f + 2)
+        on_zero[f] = np.abs(raw[..., :3]).max(axis=-1) <= 1e-3 * (f + 2)
+    # f32-vs-f64 hit decisions differ on the light's silhouette pixels
+    assert (on_exp | on_zero).mean() >= 0.98, (on_exp | on_zero).mean()
+    assert on_exp.mean() >= 0.97, on_exp.mean()
+
+
 def test_emissive_glass_is_not_a_light():
     """An emissive GLASS material never contributes its emission in the
     BSDF path (the glass branch bypasses the emission term entirely,
