@@ -178,20 +178,16 @@ class Engine:
             self._pending_fb.block_until_ready()
             self._last_render_s = time.perf_counter() - self._pending_t0
             self._pending_fb = None
+            # Snapshot stats NOW, while renderer.last_segments still refers
+            # to the frame that just settled (and is free to read) — a
+            # stats read while the NEXT frame is in flight returns this
+            # snapshot instead of blocking on (or starving behind) it.
+            self._refresh_stats()
 
-    @property
-    def stats(self) -> FrameStats:
-        """Live metrics. NON-BLOCKING: an in-flight async frame is folded in
-        only once the device reports it ready (``is_ready``), so a stats read
-        in a tight host loop never serializes async dispatch; until then the
-        previous frame's numbers are returned with ``timing_exact=False``."""
+    def _refresh_stats(self) -> None:
         scene = getattr(self, "_scene_for_stats", None)
-        if scene is not None:
-            self._settle_pending(block=False)
-            if self._pending_fb is not None:
-                return self._stats  # still in flight: last settled numbers
         if scene is None:
-            return self._stats
+            return
         segs = self.renderer.last_segments
         p = self._last_params
         rays = (float(segs) if segs is not None else
@@ -207,6 +203,20 @@ class Engine:
             bvh_triangles=scene.n_triangles,
             timing_exact=self._timing_exact,
         )
+
+    @property
+    def stats(self) -> FrameStats:
+        """Live metrics. NON-BLOCKING: while an async frame is in flight the
+        numbers snapshotted when the PREVIOUS frame settled are returned
+        (``timing_exact=False``), so a stats read in a tight host loop never
+        serializes async dispatch — and, because every settle refreshes the
+        snapshot, never starves either (a continuously-dispatching render
+        loop used to pin this at the initial zeros)."""
+        if getattr(self, "_scene_for_stats", None) is None:
+            return self._stats
+        self._settle_pending(block=False)
+        if self._pending_fb is None:
+            self._refresh_stats()   # sync path / idle: compute live
         return self._stats
 
     @stats.setter

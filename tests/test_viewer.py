@@ -53,6 +53,21 @@ def test_entity_edit_via_input(viewer):
     np.testing.assert_allclose(np.asarray(rs1.sphere_pos[0]), [9, 9, 9])
 
 
+def test_stats_refresh_under_continuous_async_dispatch(viewer):
+    """A render loop that always has a frame in flight must still see
+    stats advance: every settle snapshots the numbers, so the
+    non-blocking property returns the LAST SETTLED frame's stats (it used
+    to return the initial zeros forever, pinning the viewer debug panel
+    at frame 0 / 0 fps)."""
+    eng = viewer.engine
+    frames_seen = []
+    for _ in range(6):
+        eng.update(dt=0.01)     # async dispatch, like ViewerServer's loop
+        frames_seen.append(eng.stats.frame)
+    assert max(frames_seen) >= frames_seen[0] + 4, frames_seen
+    assert eng.stats.mrays_per_s > 0.0
+
+
 def test_bad_input_is_harmless(viewer):
     viewer.handle_input({"set": {"nonexistent": 1}})
     viewer.handle_input({"edit_entity": {"kind": "sphere", "index": 999,
