@@ -15,7 +15,29 @@ from __future__ import annotations
 import argparse
 import dataclasses
 import json
+import os
+import threading
 import time
+
+
+def _hang_guard(seconds: float, stage: str, metric: str) -> threading.Event:
+    """The TPU relay can be unreachable for hours, and jax.devices() (or the
+    first remote compile) then hangs FOREVER — which would hang the driver's
+    round-end bench. Arm a watchdog: if ``stage`` hasn't signalled ``done``
+    within ``seconds``, print an explicit error JSON line and exit(2)."""
+    done = threading.Event()
+
+    def fire():
+        if not done.wait(seconds):
+            print(json.dumps({
+                "metric": metric, "value": 0.0, "unit": "Mrays/s/chip",
+                "vs_baseline": 0.0,
+                "error": f"{stage} exceeded {seconds:.0f}s — "
+                         "TPU relay unreachable?"}), flush=True)
+            os._exit(2)
+
+    threading.Thread(target=fire, daemon=True).start()
+    return done
 
 
 def dragon_scene():
@@ -95,6 +117,17 @@ def main():
                          "otherwise surface as a red driver bench.")
     args = ap.parse_args()
 
+    metric = (f"{args.scene}_1080p_path_throughput"
+              if args.scene != "dragon" else
+              "dragon80k_1080p_path_throughput")
+
+    # Fail fast when the relay is down (device listing is seconds when up;
+    # it hangs indefinitely when the tunnel is dead).
+    guard = _hang_guard(900, "device discovery", metric)
+    import jax
+    jax.devices()
+    guard.set()
+
     if args.smoke:
         return smoke()
 
@@ -114,10 +147,14 @@ def main():
                             shade_every=args.shade_every, claim=args.claim,
                             cohorts=args.cohorts, boundaries=args.boundaries,
                             log_cap=args.log_cap)
+        # First remote compile takes minutes when healthy; bound it so a
+        # relay that dies mid-compile still yields an error line.
+        guard = _hang_guard(2400, "first compile/warmup", metric)
         for f in range(args.warmup):
             fb = renderer.render(host.render_scene,
                                  dataclasses.replace(p, frames=f))
         fb.block_until_ready()
+        guard.set()
 
         t0 = time.perf_counter()
         seg_counts = []
@@ -134,9 +171,7 @@ def main():
         mrays = total_rays / dt / 1e6
 
     out = {
-        "metric": f"{args.scene}_1080p_path_throughput"
-                  if args.scene != "dragon" else
-                  "dragon80k_1080p_path_throughput",
+        "metric": metric,
         "value": round(mrays / n_chips, 3),
         "unit": "Mrays/s/chip",
         "vs_baseline": round(mrays / n_chips / 300.0, 4),
