@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import dataclasses
 import logging
+import threading
 import time
 
 import numpy as np
@@ -89,6 +90,7 @@ class Engine:
         self._scene_for_stats = None
         self._pending_fb = None
         self._pending_t0 = 0.0
+        self._settle_lock = threading.Lock()
         self._timing_exact = True
         self._motion_scale = 2          # adaptive-motion ladder state
         self._last_move_scale: int | None = None
@@ -172,10 +174,20 @@ class Engine:
         return fb
 
     def _settle_pending(self, block: bool = True) -> None:
-        if self._pending_fb is not None:
-            if not block and not self._pending_fb.is_ready():
+        # Called from the render loop (block=True) AND from stats reads on
+        # viewer HTTP threads (block=False): without the lock, _pending_fb
+        # can become None between the check and .is_ready(). Non-blocking
+        # callers that lose the race just return — someone else is already
+        # settling, and they'll read the refreshed snapshot.
+        if not self._settle_lock.acquire(blocking=block):
+            return
+        try:
+            fb = self._pending_fb
+            if fb is None:
                 return
-            self._pending_fb.block_until_ready()
+            if not block and not fb.is_ready():
+                return
+            fb.block_until_ready()
             self._last_render_s = time.perf_counter() - self._pending_t0
             self._pending_fb = None
             # Snapshot stats NOW, while renderer.last_segments still refers
@@ -183,6 +195,8 @@ class Engine:
             # stats read while the NEXT frame is in flight returns this
             # snapshot instead of blocking on (or starving behind) it.
             self._refresh_stats()
+        finally:
+            self._settle_lock.release()
 
     def _refresh_stats(self) -> None:
         scene = getattr(self, "_scene_for_stats", None)
