@@ -108,6 +108,10 @@ def main():
     ap.add_argument("--mesh", type=int, default=0,
                     help="render row-sharded over an N-device mesh "
                          "(N > available devices is clamped; 0 = unsharded)")
+    ap.add_argument("--mesh-spp", type=int, default=1,
+                    help="with --mesh N: split the mesh into a 2-D "
+                         "(N//S rows) x (S spp) hybrid — rows carry no "
+                         "collectives, spp carries one pmean per frame")
     ap.add_argument("--smoke", action="store_true",
                     help="on-chip Mosaic smoke gate: REAL-compile the Pallas "
                          "kernels (pallas_spheres + pallas_brute) on tiny "
@@ -252,16 +256,31 @@ def bench_sharded(host, p, args):
     )
     import jax.numpy as jnp
 
+    spp_axis = max(getattr(args, "mesh_spp", 1) or 1, 1)
     n = min(args.mesh, len(jax.devices()))
-    while args.height % n:  # row blocks must divide the image height
-        n -= 1
-    mesh = make_render_mesh(n)
+    if spp_axis > 1:
+        from ray_tracer_2_tpu.parallel.sharding import (
+            make_render_mesh2d, render_frame_hybrid_sharded)
+        rows = max(n // spp_axis, 1)
+        while args.height % rows:  # row blocks must divide the image height
+            rows -= 1
+        mesh = make_render_mesh2d(rows, spp_axis)
+        n = rows * spp_axis
+    else:
+        while args.height % n:
+            n -= 1
+        mesh = make_render_mesh(n)
     scene = replicate_scene(host.render_scene, mesh)
     fb = shard_framebuffer(jnp.zeros((args.height, args.width, 4),
                                      jnp.float32), mesh)
 
     @jax.jit
     def step(fb, f):
+        if spp_axis > 1:
+            return render_frame_hybrid_sharded(
+                scene, fb, f, mesh=mesh, width=args.width,
+                height=args.height, bounces=args.bounces,
+                rays_per_pixel=args.rpp, skybox=True)
         return render_frame_sharded(
             scene, fb, f, 100.0, mesh=mesh, width=args.width,
             height=args.height, bounces=args.bounces,

@@ -13,8 +13,12 @@ scaling layer it never had, designed the TPU way (SURVEY.md §2.3):
     ``psum`` per frame — the better axis when the image is small but the
     sample budget is large (the analog of sequence-parallel reduction,
     SURVEY.md §5.7).
+  * **Hybrid 2-D mesh** (``rows`` x ``spp``): both at once — row tiles
+    across one mesh axis, RNG frame offsets across the other, one
+    ``pmean`` over ``spp`` per frame (the dp x sp mesh shape; lays the
+    pmean on the fast ICI axis when ``spp`` is the minor mesh dim).
 
-Both run under ``shard_map`` so XLA lays communication (if any) on ICI.
+All run under ``shard_map`` so XLA lays communication (if any) on ICI.
 """
 from __future__ import annotations
 
@@ -96,6 +100,52 @@ def render_frame_spp_sharded(scene: RenderScene, framebuffer: jax.Array,
         w = jnp.where(frames >= 1,
                       n / (frames.astype(jnp.float32) * n + n), 1.0)
         return fb * (1.0 - w) + mean * w, jax.lax.psum(segs, "rows")
+
+    return step(scene, framebuffer, jnp.int32(frames))
+
+
+def make_render_mesh2d(rows: int, spp: int, devices=None) -> Mesh:
+    """2-D device mesh (``rows`` x ``spp``). ``spp`` should be the minor
+    (fast-ICI) axis — it carries the per-frame pmean; ``rows`` carries no
+    collectives at all."""
+    devices = list(devices if devices is not None else jax.devices())
+    assert rows * spp <= len(devices), \
+        f"mesh {rows}x{spp} needs {rows * spp} devices, have {len(devices)}"
+    return Mesh(np.array(devices[:rows * spp]).reshape(rows, spp),
+                ("rows", "spp"))
+
+
+def render_frame_hybrid_sharded(scene: RenderScene, framebuffer: jax.Array,
+                                frames: jax.Array, *, mesh: Mesh, width: int,
+                                height: int, bounces: int,
+                                rays_per_pixel: int, skybox: bool,
+                                tile_rows: int = 8):
+    """One accumulation ROUND over a 2-D (rows x spp) mesh: chip (i, j)
+    renders only row block i at RNG frame ``frames*S + j``; the S samples
+    of each block are mean-reduced with one ``pmean`` over the ``spp``
+    axis and blended into the row-sharded framebuffer (``frames`` counts
+    rounds of S samples, so the blend weight is the ordinary
+    ``1/(frames+1)``). Returns (framebuffer, exact traced segments across
+    the whole round — one psum over both axes)."""
+    R, S = mesh.shape["rows"], mesh.shape["spp"]
+    assert height % R == 0, f"height {height} not divisible by rows={R}"
+    block = height // R
+
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(P(), P("rows"), P()),
+             out_specs=(P("rows"), P()), check_vma=False)
+    def step(scene, fb_block, frames):
+        row0 = jax.lax.axis_index("rows") * block
+        my_frame = frames * S + jax.lax.axis_index("spp")
+        sample, segs = render_sample(
+            scene, my_frame, jnp.float32(1.0), width=width, height=height,
+            bounces=bounces, rays_per_pixel=rays_per_pixel, skybox=skybox,
+            debug_mode=0, tile_rows=tile_rows, row_start=row0, rows=block)
+        mean = jax.lax.pmean(sample, "spp")
+        w = jnp.where(frames >= 1,
+                      1.0 / (frames.astype(jnp.float32) + 1.0), 1.0)
+        return (fb_block * (1.0 - w) + mean * w,
+                jax.lax.psum(segs, ("rows", "spp")))
 
     return step(scene, framebuffer, jnp.int32(frames))
 

@@ -11,8 +11,9 @@ import pytest
 from ray_tracer_2_tpu.config import RenderParams
 from ray_tracer_2_tpu.engine.renderer import render_frame
 from ray_tracer_2_tpu.parallel.sharding import (
-    make_render_mesh, render_frame_sharded, render_frame_spp_sharded,
-    replicate_scene, shard_framebuffer,
+    make_render_mesh, make_render_mesh2d, render_frame_hybrid_sharded,
+    render_frame_sharded, render_frame_spp_sharded, replicate_scene,
+    shard_framebuffer,
 )
 from ray_tracer_2_tpu.scene import scenes
 from ray_tracer_2_tpu.scene.render_scene import instantiate_scene
@@ -124,6 +125,39 @@ def test_row_sharded_sphere_bvh_matches_single_device(monkeypatch):
     np.testing.assert_allclose(np.asarray(single), np.asarray(sharded),
                                atol=1e-6, rtol=1e-6)
     assert float(segs) == float(_segs)
+
+
+@pytest.mark.parametrize("shape", [(2, 4), (4, 2)])
+def test_hybrid_mesh_matches_composed_single_device(scene, shape):
+    """Hybrid rows x spp sharding over a 2-D mesh must equal the composed
+    single-device computation: the S per-chip samples of accumulation
+    round k are the ordinary full-frame renders at RNG frames k*S+j, so
+    mean(those) blended at 1/(k+1) is the exact expectation. Segment
+    counting must survive the two-axis psum exactly."""
+    from ray_tracer_2_tpu.engine.renderer import render_sample
+    W, H = 16, 16
+    R, S = shape
+    mesh = make_render_mesh2d(R, S)
+    frames = 2   # mid-accumulation round, non-trivial blend weight
+
+    samples, seg_sum = [], 0.0
+    for j in range(S):
+        smp, segs = render_sample(
+            scene, jnp.int32(frames * S + j), jnp.float32(1.0), width=W,
+            height=H, bounces=2, rays_per_pixel=1, skybox=True,
+            debug_mode=0, tile_rows=4)
+        samples.append(np.asarray(smp))
+        seg_sum += float(segs)
+    w = 1.0 / (frames + 1)
+    expected = np.mean(samples, axis=0) * w   # prior framebuffer is zero
+
+    fb = shard_framebuffer(jnp.zeros((H, W, 4), jnp.float32), mesh)
+    out, segs = render_frame_hybrid_sharded(
+        replicate_scene(scene, mesh), fb, frames, mesh=mesh, width=W,
+        height=H, bounces=2, rays_per_pixel=1, skybox=True, tile_rows=4)
+    np.testing.assert_allclose(np.asarray(out), expected,
+                               atol=1e-6, rtol=1e-6)
+    assert float(segs) == seg_sum
 
 
 def test_uneven_mesh_subset(scene):
