@@ -375,6 +375,24 @@ def test_sphere_light_cone_nee_deterministic_and_analytic():
     assert on_exp.mean() >= 0.97, on_exp.mean()
 
 
+def test_nee_composes_with_antialias(cornell_rs):
+    """Quality flags must compose: nee + antialias + rpp>1 renders a
+    finite image in the same energy ballpark as plain path tracing at
+    equal spp (each flag's own unbiasedness is gated elsewhere)."""
+    import dataclasses as dc
+    r = Renderer()
+    p = RenderParams(width=32, height=24, bounces=3, rays_per_pixel=2,
+                     skybox=False, nee=True, antialias=True)
+    fb = None
+    for f in range(12):
+        fb = r.render(cornell_rs, dc.replace(p, frames=f))
+    both = np.asarray(fb)
+    plain, _ = _acc(cornell_rs, False, 12, 2, bounces=3)
+    assert np.isfinite(both).all()
+    mp, mb = plain[..., :3].mean(), both[..., :3].mean()
+    assert mb > 0.5 * mp and mb < 1.6 * mp, (mp, mb)
+
+
 def test_emissive_glass_is_not_a_light():
     """An emissive GLASS material never contributes its emission in the
     BSDF path (the glass branch bypasses the emission term entirely,
