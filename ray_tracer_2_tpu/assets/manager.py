@@ -100,6 +100,9 @@ class AssetManager:
             synth = procedural.SYNTHESIZERS.get(rel_path)
             if synth is None:
                 raise
+            logging.getLogger(__name__).warning(
+                "asset %s not found in any search path; using the "
+                "procedural substitute (assets/procedural.py)", rel_path)
             key = ("synthetic", rel_path)
             with self._lock:
                 cached = self.loaded_meshes.get(key)

@@ -158,3 +158,23 @@ def test_native_obj_parser_matches_python(assets):
         np.testing.assert_array_equal(a.positions, b.positions)
         np.testing.assert_array_equal(a.normals, b.normals)
         np.testing.assert_array_equal(a.uvs, b.uvs)
+
+
+def test_loader_thread_survives_failed_scene():
+    """A scene whose constructor raises (EMPTY preserves the reference's
+    todo!(), scene.rs:1012) must not kill the loader thread: the failure
+    is logged, load_blocking raises, and the NEXT request still loads
+    (SURVEY §5.3 failure handling)."""
+    import pytest
+
+    from ray_tracer_2_tpu.scene.manager import SceneManager
+    from ray_tracer_2_tpu.scene.scenes import SceneName
+
+    mgr = SceneManager()
+    try:
+        with pytest.raises(RuntimeError, match="scene load failed"):
+            mgr.load_blocking(SceneName.EMPTY)
+        scene = mgr.load_blocking(SceneName.METAL)
+        assert scene is not None and mgr.scene is scene
+    finally:
+        mgr.shutdown()
