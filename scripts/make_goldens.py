@@ -44,6 +44,11 @@ GOLDENS = {
                                              frames=8, nee=1)),
     "metal_aa": (scenes.metal, dict(width=96, height=54, bounces=4,
                                     frames=8, antialias=1)),
+    # textured-path golden: earthmap sphere — u8 texel pack, paired-row
+    # atlas layout, bilinear taps in the lit path. Uses a pulled-back
+    # camera (tests/test_goldens.py); the faithful texture_test camera
+    # sits ON the sphere and renders near-black.
+    "texture_test": (None, dict(width=96, height=54, bounces=3, frames=6)),
 }
 
 OUT = Path(__file__).resolve().parents[1] / "tests" / "goldens"
@@ -64,6 +69,9 @@ def render_golden(build, width, height, bounces, frames, nee=0, antialias=0):
 def main():
     OUT.mkdir(parents=True, exist_ok=True)
     for name, (build, cfg) in GOLDENS.items():
+        if build is None:   # builders that live next to the gate itself
+            from tests.test_goldens import texture_golden_scene
+            build = texture_golden_scene
         fb = render_golden(build, **cfg)
         np.savez_compressed(OUT / f"{name}.npz", framebuffer=fb, **cfg)
         print(f"{name}: mean={fb[..., :3].mean():.4f} max={fb[..., :3].max():.3f}")

@@ -16,6 +16,24 @@ from ray_tracer_2_tpu.scene import scenes
 from ray_tracer_2_tpu.scene.render_scene import instantiate_scene
 
 GOLDEN_DIR = Path(__file__).parent / "goldens"
+
+
+def texture_golden_scene():
+    """texture_test's earthmap sphere with a PULLED-BACK camera: the
+    reference's own texture_test camera sits exactly ON the sphere
+    surface (Transform::cam(NEG_Z, ZERO) with radius 1, scene.rs:282-284)
+    and renders near-black — faithful in scenes.texture_test, but useless
+    as a texture-path regression signal. Same material/machinery, visible
+    result."""
+    from ray_tracer_2_tpu.math.transform import Transform
+    from ray_tracer_2_tpu.scene.definition import CameraDescriptor
+    s = scenes.texture_test()
+    s.set_camera(CameraDescriptor(
+        transform=Transform.cam([0.0, 0.0, -3.0], [0.0, 0.0, 0.0]),
+        fov=45.0, focus_dist=3.0))
+    return s
+
+
 BUILDERS = {"metal": scenes.metal, "balls": scenes.balls,
             "room": scenes.room, "cornell": scenes.cornell_box,
             # obj_test -> 32-ary wide-BVH megakernel traversal (dragon.obj),
@@ -27,7 +45,9 @@ BUILDERS = {"metal": scenes.metal, "balls": scenes.balls,
             "random_balls": scenes.random_balls,
             # quality-flag goldens (NEE estimator / AA jitter stream)
             "cornell_nee": scenes.cornell_box,
-            "metal_aa": scenes.metal}
+            "metal_aa": scenes.metal,
+            # textured path: u8 texel pack + paired-row bilinear taps
+            "texture_test": texture_golden_scene}
 
 
 def rmse(a, b):
@@ -45,6 +65,9 @@ def test_golden(name, assets):
     if name == "obj_test":
         from tests.conftest import require_asset
         require_asset(assets, "dragon.obj")
+    if name == "texture_test":
+        from tests.conftest import require_asset
+        require_asset(assets, "earthmap.png")
     with np.load(path) as z:
         golden = z["framebuffer"]
         cfg = {k: int(z[k]) for k in ("width", "height", "bounces", "frames")}
