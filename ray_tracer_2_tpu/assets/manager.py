@@ -10,6 +10,7 @@ Differences from the reference, by design:
 """
 from __future__ import annotations
 
+import logging
 import os
 import threading
 from pathlib import Path
@@ -66,7 +67,6 @@ class AssetManager:
             if rel_path in self.loaded_textures:
                 return self.loaded_textures[rel_path]
             if len(self.loaded_textures) >= MAX_TEXTURES:
-                import logging
                 logging.getLogger(__name__).warning(
                     "Cannot load more than %d textures", MAX_TEXTURES)
                 return -1
