@@ -136,6 +136,24 @@ def test_light_table_follows_live_edits():
     assert host.render_scene.lights == ()
 
 
+def test_light_table_follows_instance_transform_edits():
+    """Moving an instance group that CONTAINS emissive triangles must
+    refresh the static light table with the new world-space verts (the
+    sphere-edit path is covered above; this pins the inst_m2w path of
+    _extract_lights through edit_instance_transform)."""
+    host = instantiate_scene(scenes.room())
+    base = host.render_scene.lights
+    assert len(base) == 2          # ceiling quad = 2 tris
+    host.edit_instance_transform(0, pos=[0.0, 1.0, 0.0])
+    moved = host.render_scene.lights
+    assert moved != base
+    for L0, L1 in zip(base, moved):
+        np.testing.assert_allclose(
+            np.asarray(L1[1:10]).reshape(3, 3),
+            np.asarray(L0[1:10]).reshape(3, 3) + [0.0, 1.0, 0.0],
+            atol=1e-5)
+
+
 # ---------------------------------------------------------------- mode 2
 
 def _mini_traversal_light_scene():
