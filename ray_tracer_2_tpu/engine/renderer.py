@@ -206,12 +206,15 @@ class Renderer:
             self._psph_cache[key] = cached
         return cached
 
-    def render(self, scene: RenderScene, params: RenderParams) -> jax.Array:
-        """Render one frame into the accumulation buffer; returns it."""
+    def frame_call(self, scene: RenderScene, params: RenderParams):
+        """The exact ``render_frame`` call ``render`` makes, as (args,
+        kwargs) — exposed so tooling can ``render_frame.lower(*args,
+        **kwargs)`` the shipping computation (scripts/profile_scene.py
+        annotates hot fusions from the compiled HLO)."""
         self.ensure_framebuffer(params.width, params.height)
-        self.framebuffer, self.last_segments = render_frame(
-            scene, self.framebuffer,
-            jnp.int32(params.frames), jnp.float32(max(params.debug_scale, 1)),
+        args = (scene, self.framebuffer, jnp.int32(params.frames),
+                jnp.float32(max(params.debug_scale, 1)))
+        kwargs = dict(
             width=params.width, height=params.height,
             bounces=int(params.bounces),
             rays_per_pixel=int(params.rays_per_pixel),
@@ -227,6 +230,12 @@ class Renderer:
             nee=bool(getattr(params, "nee", False)),
             pallas_spheres=self._use_pallas_spheres(scene, params),
         )
+        return args, kwargs
+
+    def render(self, scene: RenderScene, params: RenderParams) -> jax.Array:
+        """Render one frame into the accumulation buffer; returns it."""
+        args, kwargs = self.frame_call(scene, params)
+        self.framebuffer, self.last_segments = render_frame(*args, **kwargs)
         return self.framebuffer
 
     def read_framebuffer(self) -> np.ndarray:

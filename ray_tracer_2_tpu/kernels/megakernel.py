@@ -42,7 +42,7 @@ import math
 import jax
 import jax.numpy as jnp
 
-from ray_tracer_2_tpu import rng
+from ray_tracer_2_tpu import rng, tuning
 from ray_tracer_2_tpu.kernels.brute import BRUTE_MAX_TRIS, brute_force_intersect
 from ray_tracer_2_tpu.kernels.gatherlib import fetch_attr, fetch_rows
 from ray_tracer_2_tpu.kernels.intersect import INF, ray_sphere, \
@@ -1321,7 +1321,7 @@ def trace_batch_flat(scene: RenderScene, origin, direction, seed, *,
 def render_persistent(scene: RenderScene, frames, *, width: int, height: int,
                       bounces: int, rays_per_pixel: int, skybox: bool,
                       row_start=0, rows: int | None = None,
-                      lanes: int = 16384, unroll: int = 5,
+                      lanes: int | None = None, unroll: int | None = None,
                       shade_every: int = 0, cohorts: int = 1,
                       normal_maps: bool = False, claim: str = "queue",
                       boundaries: int = 1, log_cap: int | None = None,
@@ -1357,6 +1357,12 @@ def render_persistent(scene: RenderScene, frames, *, width: int, height: int,
     (profiled ~2x below the op-sum, docs/PERF_NOTES.md). Pixel values are
     unchanged (the work queue hands out the same pixel ids; seeds derive
     from pixel ids). Queue claim + ungated boundary only."""
+    # measured-on-chip defaults (ray_tracer_2_tpu/tuning.py): explicit kwarg
+    # > tuned.json for the active backend > built-in fallback. Resolution is
+    # per-process-stable, so the jit cache (keyed on the static values the
+    # callers pass through) never sees a knob change under a live trace.
+    lanes = tuning.resolve("lanes", lanes, 16384)
+    unroll = tuning.resolve("unroll", unroll, 5)
     rows = height if rows is None else rows
     total = rows * width
     rpp = max(rays_per_pixel, 1)

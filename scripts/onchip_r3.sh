@@ -8,7 +8,9 @@ echo "== 1/4 Mosaic smoke gate =="
 timeout 1800 python bench.py --smoke | tail -1
 echo "== 2/4 sweep (regressions + shared-term sphere A/B + lanes/unroll) =="
 timeout 7200 python scripts/sweep_r3.py
-echo "== 3/4 dragon op-level profile (VPU-tail decomposition) =="
+echo "== 3/5 apply measured tuning (lanes/unroll winners -> tuned.json) =="
+timeout 300 python scripts/apply_tuning.py /tmp/sweep_r3.log || true
+echo "== 4/5 dragon op-level profile (VPU-tail decomposition) =="
 timeout 3600 python scripts/profile_scene.py dragon --top 60
-echo "== 4/4 headline bench =="
+echo "== 5/5 headline bench (picks up tuned.json) =="
 timeout 1800 python bench.py | tail -1

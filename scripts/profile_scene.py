@@ -26,6 +26,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("scene")
     ap.add_argument("--top", type=int, default=40)
+    ap.add_argument("--no-hlo", action="store_true",
+                    help="skip the compiled-HLO fusion annotation pass")
     ap.add_argument("--width", type=int, default=1920)
     ap.add_argument("--height", type=int, default=1080)
     args = ap.parse_args()
@@ -92,6 +94,93 @@ def main():
     print(f"{'op':<44}{'us/frame':>10}{'count':>8}")
     for k, v in tot.most_common(args.top):
         print(f"{k:<44}{v/2:>10.0f}{cnt[k]//2:>8}")
+
+    # ---- per-instruction table: the aggregated view above collapses every
+    # fusion.N into one "fusion" bucket — useless for attacking the VPU
+    # tail. Keep the full instruction names and annotate each from the
+    # compiled HLO (root metadata op_name/source + fused-op histogram). ----
+    itot = collections.Counter()
+    icnt = collections.Counter()
+    for e in ev:
+        if e.get("ph") != "X" or "dur" not in e:
+            continue
+        name = e.get("name", "")
+        if re.match(r"^(fusion|while|copy|gather|scatter|dynamic|sort|"
+                    r"transpose|reduce|broadcast|iota|convert|select|"
+                    r"concatenate|dot|custom|bitcast|slice|add|multiply|"
+                    r"compare|cumsum|all-reduce|tuple|pad|reshape|rng)",
+                    name):
+            itot[name] += e["dur"]
+            icnt[name] += 1
+
+    notes = {}
+    if not args.no_hlo:
+        try:
+            notes = hlo_annotations(r, host, p, set(itot))
+        except Exception as exc:   # annotation is best-effort
+            print(f"(HLO annotation unavailable: {type(exc).__name__}: {exc})")
+
+    print(f"\nper-instruction (top {args.top}):")
+    print(f"{'instruction':<22}{'us/frame':>9}{'count':>7}  note")
+    for k, v in itot.most_common(args.top):
+        print(f"{k:<22}{v/2:>9.1f}{icnt[k]//2:>7}  {notes.get(k, '')}")
+
+
+def hlo_annotations(r, host, p, names):
+    """instruction name -> 'shape | fused-op histogram | op_name@line' from
+    the compiled HLO of the exact shipping render_frame call."""
+    import dataclasses
+    from ray_tracer_2_tpu.engine.renderer import render_frame
+
+    fargs, fkwargs = r.frame_call(host.render_scene,
+                                  dataclasses.replace(p, frames=6))
+    txt = render_frame.lower(*fargs, **fkwargs).compile().as_text()
+    Path("/tmp/rt2_hlo.txt").write_text(txt)
+    print("(compiled HLO written to /tmp/rt2_hlo.txt)")
+
+    # Pass 1: per-computation opcode histograms (for kLoop fusion bodies).
+    comp_ops = {}
+    cur = None
+    for line in txt.splitlines():
+        m = re.match(r"^%?([\w.\-]+) \(", line.strip())
+        if not line.startswith(" ") and m:
+            cur = m.group(1)
+            comp_ops[cur] = collections.Counter()
+            continue
+        if cur and line.startswith("  "):
+            mo = re.match(r"\s+(?:ROOT )?%?[\w.\-]+ = \S+ ([\w\-]+)\(",
+                          line)
+            if mo:
+                comp_ops[cur][mo.group(1)] += 1
+
+    # Pass 2: instruction lines anywhere in the module.
+    notes = {}
+    pat = re.compile(
+        r"%?([\w.\-]+) = (\S+) ([\w\-]+)\(.*?"
+        r"(?:calls=%?([\w.\-]+))?(?:, )?"
+        r"(?:metadata=\{(.*?)\})?$")
+    for line in txt.splitlines():
+        m = re.match(r"\s+(?:ROOT )?%?([\w.\-]+) = (\S+) ([\w\-]+)\(", line)
+        if not m or m.group(1) not in names:
+            continue
+        name, shape, opcode = m.groups()
+        parts = [shape]
+        mc = re.search(r"calls=%?([\w.\-]+)", line)
+        if mc and mc.group(1) in comp_ops:
+            hist = comp_ops[mc.group(1)]
+            parts.append(" ".join(f"{k}x{v}" for k, v in
+                                  hist.most_common(6)))
+        mm = re.search(r'op_name="([^"]*)"', line)
+        ml = re.search(r'source_line=(\d+)', line)
+        mf = re.search(r'source_file="([^"]*)"', line)
+        if mm:
+            src = mm.group(1)
+            src = re.sub(r"^jit\(render_frame\)/", "", src)[-90:]
+            if mf and ml:
+                src += f" [{Path(mf.group(1)).name}:{ml.group(1)}]"
+            parts.append(src)
+        notes[name] = " | ".join(parts)
+    return notes
 
 
 if __name__ == "__main__":

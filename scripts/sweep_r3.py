@@ -70,7 +70,10 @@ CONFIGS = [
     # claim shuffle, traversal-limit seeding may have moved the optimum)
     ("dragon", {"_kw": {"lanes": 24576}}),
     ("dragon", {"_kw": {"lanes": 32768}}),
+    ("dragon", {"_kw": {"lanes": 49152}}),
+    ("dragon", {"_kw": {"lanes": 65536}}),
     ("dragon", {"_kw": {"lanes": 8192}}),
+    ("dragon", {"_kw": {"lanes": 32768, "unroll": 4}}),
     ("dragon", {"_kw": {"unroll": 4}}),
     ("dragon", {"_kw": {"unroll": 6}}),
 ]
