@@ -180,6 +180,12 @@ def main():
         "unit": "Mrays/s/chip",
         "vs_baseline": round(mrays / n_chips / 300.0, 4),
     }
+    from ray_tracer_2_tpu import tuning
+    tuned = {k: v for k, v in tuning.tuned_defaults().items()
+             if getattr(args, k, None) is None}   # explicit flags override
+    if tuned:
+        out["tuned"] = tuned   # measured-on-chip defaults in effect
+
     # Geometry provenance: the reference mount omits large blobs
     # (.MISSING_LARGE_BLOBS); these scenes run on engineered substitutes.
     if args.scene == "dragon":
