@@ -119,6 +119,15 @@ def main():
                          "ever compiles them in interpret mode on CPU, so a "
                          "toolchain bump that breaks Mosaic lowering would "
                          "otherwise surface as a red driver bench.")
+    ap.add_argument("--cornell1024", action="store_true",
+                    help="secondary metric (BASELINE.md): wall-clock seconds "
+                         "to accumulate 1024 spp of CornellBox at the given "
+                         "resolution (default 1080p); honours --rpp (spp = "
+                         "frames x rpp) and --nee")
+    ap.add_argument("--nee", action="store_true",
+                    help="with --cornell1024: enable next-event estimation "
+                         "(reference-divergent estimator, ~10x less variance "
+                         "at equal spp — see docs/ARCHITECTURE.md)")
     args = ap.parse_args()
 
     metric = (f"{args.scene}_1080p_path_throughput"
@@ -134,6 +143,8 @@ def main():
 
     if args.smoke:
         return smoke()
+    if args.cornell1024:
+        return cornell1024(args)
 
     from ray_tracer_2_tpu.config import RenderParams
     from ray_tracer_2_tpu.engine.renderer import Renderer
@@ -199,6 +210,49 @@ def main():
         out["geometry"] = ("substitute: Dragon_80K instances built from "
                            "dragon.obj midpoint subdivision")
     print(json.dumps(out))
+
+
+def cornell1024(args):
+    """Secondary metric (BASELINE.md): seconds of device time to accumulate
+    1024 samples/pixel of CornellBox. spp = frames x rays_per_pixel; higher
+    --rpp amortizes the per-frame boundary machinery (the round-2 campaign
+    measured 1024 spp at 1080p falling 344 s -> ~45 s). --nee flips the
+    flag-gated next-event estimator on for a time-to-QUALITY comparison
+    (equal spp, ~6-18x lower variance on enclosed lights — validated
+    unbiased by scripts/validate_nee.py)."""
+    import dataclasses as dc
+
+    from ray_tracer_2_tpu.config import RenderParams
+    from ray_tracer_2_tpu.engine.renderer import Renderer
+
+    spp = 1024
+    rpp = max(args.rpp, 1)
+    n_frames = max(spp // rpp, 1)
+    metric = "cornell_1024spp_wallclock" + ("_nee" if args.nee else "")
+    host = named_scene("cornell")
+    p = RenderParams(width=args.width, height=args.height,
+                     bounces=args.bounces, rays_per_pixel=rpp,
+                     skybox=True, frames=0, nee=args.nee)
+    r = Renderer(lanes=args.lanes, unroll=args.unroll)
+
+    guard = _hang_guard(2400, "first compile/warmup", metric)
+    fb = r.render(host.render_scene, dc.replace(p, frames=0))
+    fb.block_until_ready()
+    guard.set()
+
+    t0 = time.perf_counter()
+    rays = 0.0
+    for f in range(n_frames):
+        r.render(host.render_scene, dc.replace(p, frames=f))
+        rays += float(r.last_segments)
+    r.framebuffer.block_until_ready()
+    dt = time.perf_counter() - t0
+    print(json.dumps({
+        "metric": metric, "value": round(dt, 1), "unit": "s",
+        "vs_baseline": 0.0, "spp": spp, "rpp": rpp,
+        "resolution": f"{args.width}x{args.height}",
+        "mrays_per_s": round(rays / dt / 1e6, 2)}))
+    return 0
 
 
 def smoke():

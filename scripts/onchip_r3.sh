@@ -12,5 +12,8 @@ echo "== 3/5 apply measured tuning (lanes/unroll winners -> tuned.json) =="
 timeout 300 python scripts/apply_tuning.py /tmp/sweep_r3.log || true
 echo "== 4/5 dragon op-level profile (VPU-tail decomposition) =="
 timeout 3600 python scripts/profile_scene.py dragon --top 60
-echo "== 5/5 headline bench (picks up tuned.json) =="
+echo "== 5/6 headline bench (picks up tuned.json) =="
 timeout 1800 python bench.py | tail -1
+echo "== 6/6 secondary metric: Cornell 1024 spp wall-clock (plain + NEE) =="
+timeout 1200 python bench.py --cornell1024 --rpp 8 | tail -1
+timeout 1200 python bench.py --cornell1024 --rpp 8 --nee | tail -1
