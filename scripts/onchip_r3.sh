@@ -12,6 +12,8 @@ echo "== 3/5 apply measured tuning (lanes/unroll winners -> tuned.json) =="
 timeout 300 python scripts/apply_tuning.py /tmp/sweep_r3.log || true
 echo "== 4/5 dragon op-level profile (VPU-tail decomposition) =="
 timeout 3600 python scripts/profile_scene.py dragon --top 60
+echo "== 4b lane-occupancy probe (packed slab/leaf blocks: build or drop) =="
+timeout 1200 python scripts/probe_lanepack.py || true
 echo "== 5/6 headline bench (picks up tuned.json) =="
 timeout 1800 python bench.py | tail -1
 echo "== 6/6 secondary metric: Cornell 1024 spp wall-clock (plain + NEE) =="

@@ -56,6 +56,17 @@ def bench_one(scene_name, env=None, frames=8, warmup=2, width=1920,
 
 CONFIGS = [
     ("dragon", {}),
+    # reduction-free winner extraction (fusion-break diet): bit-identical
+    # (tests/test_noreduce.py); flip the megakernel default if it wins
+    ("dragon", {"RT2_NOREDUCE": "1"}),
+    ("sponza", {"RT2_NOREDUCE": "1"}),
+    ("room2", {"RT2_NOREDUCE": "1"}),
+    ("random_balls", {"RT2_NOREDUCE": "1"}),
+    # small-dot reduce unroll (ROUNDING change — tolerance-gated, see
+    # tests/test_noreduce.py::test_dot_unroll_close); measured on top of
+    # the noreduce winner so the flags compose
+    ("dragon", {"RT2_NOREDUCE": "1", "RT2_DOT_UNROLL": "1"}),
+    ("random_balls", {"RT2_NOREDUCE": "1", "RT2_DOT_UNROLL": "1"}),
     ("random_balls", {}),                              # fast dense (new)
     ("random_balls", {"RT2_SPHERE_FAST": "0"}),        # exact dense (old)
     ("random_balls", {"RT2_PALLAS_SPHERE_CAP": "512"}),  # Pallas whole-path
