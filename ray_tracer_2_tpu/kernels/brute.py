@@ -12,11 +12,9 @@ take this path; big meshes (dragon, sponza) use kernels/traverse.py.
 """
 from __future__ import annotations
 
-import os as _os
 
 import jax.numpy as jnp
 
-from ray_tracer_2_tpu.kernels import tourney
 from ray_tracer_2_tpu.kernels.intersect import INF, ray_triangle
 from ray_tracer_2_tpu.scene.render_scene import RenderScene
 
@@ -58,27 +56,6 @@ def brute_force_intersect(scene: RenderScene, origin, direction,
         mat = scene.tri_mat[start:end]
         cull = (jnp.take(scene.materials.flag, mat) != 1)[None, :]
         hit, dst, u, v, det = ray_triangle(o, d, v0, v1, v2, cull)
-        if _os.environ.get("RT2_NOREDUCE", "0") == "1":
-            # RT2_NOREDUCE: the argmin + 6 masked-sum reduces below are
-            # each a fusion break at (B, T) per chunk per boundary; the
-            # pairwise tournament is pure elementwise and fuses with
-            # ray_triangle's arithmetic. Bit-identical: dst is exactly
-            # INF on miss, so min == the masked-sum pick and the
-            # lexicographic tie-break equals argmin's first-index pick
-            # (tests/test_tourney.py; end-to-end tests/test_noreduce.py).
-            mat_b = jnp.broadcast_to(mat[None, :], dst.shape)
-            dstp, pays = tourney.pad_pow2(dst, (u, v, det, mat_b), fill=INF)
-            dstk, k, u_w, v_w, det_w, mat_w = tourney.first_min(dstp, pays)
-            better = dstk < best["dst"]
-            best = dict(
-                dst=jnp.where(better, dstk, best["dst"]),
-                tri=jnp.where(better, start + k, best["tri"]),
-                u=jnp.where(better, u_w, best["u"]),
-                v=jnp.where(better, v_w, best["v"]),
-                det=jnp.where(better, det_w, best["det"]),
-                mat=jnp.where(better, mat_w, best["mat"]),
-            )
-            continue
         k = jnp.argmin(dst, axis=1)
         # winner extraction via one-hot select + sum (exact: one nonzero
         # term), NOT take_along_axis — a per-lane scalar gather lowers to

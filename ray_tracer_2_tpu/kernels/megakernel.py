@@ -43,7 +43,6 @@ import jax
 import jax.numpy as jnp
 
 from ray_tracer_2_tpu import rng, tuning
-from ray_tracer_2_tpu.kernels import tourney
 from ray_tracer_2_tpu.kernels.brute import BRUTE_MAX_TRIS, brute_force_intersect
 from ray_tracer_2_tpu.kernels.gatherlib import fetch_attr, fetch_rows
 from ray_tracer_2_tpu.kernels.intersect import INF, ray_sphere, \
@@ -181,16 +180,12 @@ def _make_parts(scene: RenderScene, B: int, bounces: int, skybox: bool,
     else:
         nee_mode = 0
     SPH_SENT = 0x3FFFFFFF  # best-id sentinel: loses every (dst, id) lex tie
-    # RT2_NOREDUCE=1: replace every per-step argmin/min/masked-sum winner
-    # extraction with reduction-free pairwise tournaments (kernels/
-    # tourney.py) and an unrolled stack scan. Each reduce is a fusion
-    # break (its (B, 32)/(B, 8)/(B, D) input materializes between
-    # fusions); the op census (scripts/op_census.py) counts the per-step
-    # breaks — the bulk of the ~160 us/iter VPU tail (docs/PERF_NOTES.md).
-    # Bit-identical output (tests/test_tourney.py contract fuzz +
-    # tests/test_noreduce.py end-to-end); default decided by on-chip A/B
-    # (scripts/sweep_r3.py), loser to be deleted.
-    noreduce = _os.environ.get("RT2_NOREDUCE", "0") == "1"
+    # Reduction-free tournament variants (RT2_NOREDUCE, kernels/tourney.py)
+    # were measured SLOWER on every scene (dragon 22.34 vs 22.94, balls
+    # 51.85 vs 55.28 — docs/PERF_NOTES.md round-3 on-chip session): XLA's
+    # select_reduce/iota_reduce fusions already fuse producer arithmetic
+    # into the reduce, so the tournaments only added select chains. Deleted
+    # per the pre-registered A/B decision rule; reduces below are final.
     D = int(scene.wide_depth) + 2  # resume-stack depth (static)
     w2m_all = scene.inst_world_to_model
     m2w_all = scene.inst_model_to_world
@@ -309,21 +304,10 @@ def _make_parts(scene: RenderScene, B: int, bounces: int, skybox: bool,
         hit = hit & (child_lane < k[:, None])
         dn = jnp.where(hit, tn, INF)
         bits = hit.astype(jnp.int32) << child_lane
-        if not noreduce:
-            mask = jnp.sum(bits, axis=1)
-            c_min = jnp.argmin(dn, axis=1).astype(jnp.int32)
-            dn2 = jnp.min(jnp.where(child_lane == c_min[:, None], INF, dn),
-                          axis=1)
-            return mask, c_min, dn2
-        # Reduction-free two-smallest tournament (RT2_NOREDUCE): the three
-        # reduces above are each a fusion break at (B, 32) — the round-3
-        # op-level census (scripts/op_census.py) counts ~13 reduce breaks
-        # per traversal step as the bulk of the ~160 us/iter VPU tail.
-        # Pairwise halving is pure elementwise (fuses with the slab test);
-        # the lexicographic (key, index) tie-break equals argmin's
-        # first-index pick (tests/test_tourney.py), and the mask OR rides
-        # the same pass.
-        _, c_min, dn2, mask = tourney.two_smallest(dn, (bits,))
+        mask = jnp.sum(bits, axis=1)
+        c_min = jnp.argmin(dn, axis=1).astype(jnp.int32)
+        dn2 = jnp.min(jnp.where(child_lane == c_min[:, None], INF, dn),
+                      axis=1)
         return mask, c_min, dn2
 
     def wide_enter(row, om, dm, enter, SB, SM, SD, limit=None):
@@ -419,36 +403,23 @@ def _make_parts(scene: RenderScene, B: int, bounces: int, skybox: bool,
                 & (w8 >= 0.0) & tri_leaf[:, None] & (dst8 < best_dst[:, None])
             dstw8 = jnp.where(hit8, dst8, INF)
             jlane = jnp.arange(LEAF_CHUNK, dtype=jnp.int32)[None, :]
-            if noreduce:
-                # hit8 forces non-hits to exactly INF, so min < INF <=>
-                # any(hit8); the tournament's first-index winner is the
-                # argmin lane and its payload selects carry the same bits
-                # the masked sums below extract.
-                m8, jstar, u_w, v_w, det_w, mat_w = tourney.first_min(
-                    dstw8, (u8, v8, det8, mc >> 1))
-                better = m8 < INF
-                best_u = jnp.where(better, u_w, best_u)
-                best_v = jnp.where(better, v_w, best_v)
-                best_det = jnp.where(better, det_w, best_det)
-                best_mat = jnp.where(better, mat_w, best_mat)
-            else:
-                jstar = jnp.argmin(dstw8, axis=1).astype(jnp.int32)
-                winner8 = hit8 & (jlane == jstar[:, None])
-                m8 = jnp.sum(jnp.where(winner8, dstw8, 0.0), axis=1)
-                better = jnp.any(hit8, axis=1)
-                best_u = jnp.where(better,
-                                   jnp.sum(jnp.where(winner8, u8, 0.0),
-                                           axis=1), best_u)
-                best_v = jnp.where(better,
-                                   jnp.sum(jnp.where(winner8, v8, 0.0),
-                                           axis=1), best_v)
-                best_det = jnp.where(better,
-                                     jnp.sum(jnp.where(winner8, det8, 0.0),
-                                             axis=1), best_det)
-                best_mat = jnp.where(better,
-                                     jnp.sum(jnp.where(winner8, mc >> 1, 0),
-                                             axis=1),
-                                     best_mat)
+            jstar = jnp.argmin(dstw8, axis=1).astype(jnp.int32)
+            winner8 = hit8 & (jlane == jstar[:, None])
+            m8 = jnp.sum(jnp.where(winner8, dstw8, 0.0), axis=1)
+            better = jnp.any(hit8, axis=1)
+            best_u = jnp.where(better,
+                               jnp.sum(jnp.where(winner8, u8, 0.0),
+                                       axis=1), best_u)
+            best_v = jnp.where(better,
+                               jnp.sum(jnp.where(winner8, v8, 0.0),
+                                       axis=1), best_v)
+            best_det = jnp.where(better,
+                                 jnp.sum(jnp.where(winner8, det8, 0.0),
+                                         axis=1), best_det)
+            best_mat = jnp.where(better,
+                                 jnp.sum(jnp.where(winner8, mc >> 1, 0),
+                                         axis=1),
+                                 best_mat)
             best_tri = jnp.where(better, first + jstar, best_tri)
             best_dst = jnp.where(better, m8, best_dst)
 
@@ -482,18 +453,11 @@ def _make_parts(scene: RenderScene, B: int, bounces: int, skybox: bool,
             dstS = jnp.where(dn8 == 0.0, df8, dn8)
             dstwS = jnp.where(hitS, dstS, INF)
             sidw = jnp.where(hitS, sid, jnp.float32(SPH_SENT))
-            if noreduce:
-                # lex (dst, id) tournament == min dst + lowest id among
-                # ties; non-hits are exactly (INF, SENT) so min < INF <=>
-                # any(hitS)
-                mnS, idmn = tourney.lex_min(dstwS, sidw)
-                anyS = mnS < INF
-            else:
-                mnS = jnp.min(dstwS, axis=1)
-                idw = jnp.where(dstwS == mnS[:, None], sidw,
-                                jnp.float32(SPH_SENT))
-                idmn = jnp.min(idw, axis=1)
-                anyS = jnp.any(hitS, axis=1)
+            mnS = jnp.min(dstwS, axis=1)
+            idw = jnp.where(dstwS == mnS[:, None], sidw,
+                            jnp.float32(SPH_SENT))
+            idmn = jnp.min(idw, axis=1)
+            anyS = jnp.any(hitS, axis=1)
             best_id_f = best_tri.astype(jnp.float32)
             betterS = anyS & ((mnS < best_dst)
                               | ((mnS == best_dst) & (idmn < best_id_f)))
@@ -517,27 +481,12 @@ def _make_parts(scene: RenderScene, B: int, bounces: int, skybox: bool,
 
         finished = active & (is_leaf | (is_wide & ~has))
         SDf = jax.lax.bitcast_convert_type(SD, jnp.float32)
-        if noreduce:
-            # Deepest live entry by ascending overwrite over the STATIC
-            # depth D — pure (B,) selects instead of an or/max/two-sum
-            # reduce quartet per step; picks the same max index and the
-            # same column values bit-for-bit.
-            pstar = jnp.full((B,), -1, jnp.int32)
-            top_b = jnp.zeros((B,), jnp.int32)
-            top_m = jnp.zeros((B,), jnp.int32)
-            for d_i in range(D):
-                live_d = (d_i < sp) & (SDf[:, d_i] < best_dst)
-                pstar = jnp.where(live_d, d_i, pstar)
-                top_b = jnp.where(live_d, SB[:, d_i], top_b)
-                top_m = jnp.where(live_d, SM[:, d_i], top_m)
-            any_live = pstar >= 0
-        else:
-            live_e = (stack_cols < sp[:, None]) & (SDf < best_dst[:, None])
-            any_live = jnp.any(live_e, axis=1)
-            pstar = jnp.max(jnp.where(live_e, stack_cols, -1), axis=1)
-            at_top0 = stack_cols == pstar[:, None]
-            top_b = jnp.sum(jnp.where(at_top0, SB, 0), axis=1)
-            top_m = jnp.sum(jnp.where(at_top0, SM, 0), axis=1)
+        live_e = (stack_cols < sp[:, None]) & (SDf < best_dst[:, None])
+        any_live = jnp.any(live_e, axis=1)
+        pstar = jnp.max(jnp.where(live_e, stack_cols, -1), axis=1)
+        at_top0 = stack_cols == pstar[:, None]
+        top_b = jnp.sum(jnp.where(at_top0, SB, 0), axis=1)
+        top_m = jnp.sum(jnp.where(at_top0, SM, 0), axis=1)
         can_pop = finished & any_live
         at_top = stack_cols == pstar[:, None]
         plow = top_m & -top_m
@@ -1007,14 +956,7 @@ def _make_parts(scene: RenderScene, B: int, bounces: int, skybox: bool,
             new_incoming = jnp.where(~shading[:, None], incoming, incoming_n)
             new_seed = seed_n
 
-        if noreduce:
-            # width-3 max reduce -> maximum chain (RT2_NOREDUCE): same
-            # left-to-right association as the reduce (init -inf), exact
-            # for max (associative; transmittance is never NaN and >= 0)
-            p = jnp.maximum(jnp.maximum(new_trans[:, 0], new_trans[:, 1]),
-                            new_trans[:, 2])
-        else:
-            p = jnp.max(new_trans[:, :3], axis=1)
+        p = jnp.max(new_trans[:, :3], axis=1)
         r_rr, new_seed = rng.rand(new_seed)
         survive = r_rr < p
         new_trans = new_trans / jnp.where(p > 0.0, p, 1.0)[:, None]
@@ -1104,17 +1046,8 @@ def _make_parts(scene: RenderScene, B: int, bounces: int, skybox: bool,
                 # come from ONE exact one-hot matmul, and `inside` is
                 # recomputed (B,)-wide with the pass's exact op order (so
                 # the df/dn selection it reflects is bit-identical)
-                if noreduce:
-                    # argmin+min pair -> one tournament (RT2_NOREDUCE):
-                    # two (B, S) reduce fusion breaks become elementwise
-                    # selects that fuse with ray_sphere_fast's arithmetic;
-                    # misses are exactly INF so min/argmin semantics match
-                    # bit-for-bit (tests/test_noreduce.py).
-                    s_dstp, _ = tourney.pad_pow2(s_dst, fill=INF)
-                    sd, sidx = tourney.first_min(s_dstp)
-                else:
-                    sidx = jnp.argmin(s_dst, axis=1)
-                    sd = jnp.min(s_dst, axis=1)
+                sidx = jnp.argmin(s_dst, axis=1)
+                sd = jnp.min(s_dst, axis=1)
                 won = sd < INF
                 is_winf = (jnp.arange(S, dtype=jnp.int32)[None, :]
                            == sidx[:, None]).astype(jnp.float32)
@@ -1141,30 +1074,15 @@ def _make_parts(scene: RenderScene, B: int, bounces: int, skybox: bool,
                     o[:, None, :], d[:, None, :],
                     scene.sphere_pos[None, :, :],
                     scene.sphere_radius[None, :])
-                if noreduce:
-                    # one tournament replaces argmin + 4 masked reduces
-                    # (RT2_NOREDUCE); misses are exactly INF in s_dst, and
-                    # each one-hot extraction equals the winner payload
-                    # (any(onehot & x) == x[argmin], masked sum == value
-                    # at argmin) — bit-identical (tests/test_noreduce.py)
-                    mat_b = jnp.broadcast_to(
-                        scene.sphere_mat[None, :], s_dst.shape)
-                    s_dstp, pays = tourney.pad_pow2(
-                        s_dst, (s_inside, s_hit, mat_b), fill=INF)
-                    sd, sidx, inside, won, smat = tourney.first_min(
-                        s_dstp, pays)
-                    is_win = jnp.arange(S, dtype=jnp.int32)[None, :] \
-                        == sidx[:, None]
-                else:
-                    sidx = jnp.argmin(s_dst, axis=1)
-                    is_win = jnp.arange(S, dtype=jnp.int32)[None, :] \
-                        == sidx[:, None]
-                    sd = jnp.sum(jnp.where(is_win, s_dst, 0.0), axis=1)
-                    inside = jnp.any(is_win & s_inside, axis=1)
-                    won = jnp.any(is_win & s_hit, axis=1)
-                    smat = jnp.sum(jnp.where(is_win,
-                                             scene.sphere_mat[None, :],
-                                             0), axis=1)
+                sidx = jnp.argmin(s_dst, axis=1)
+                is_win = jnp.arange(S, dtype=jnp.int32)[None, :] \
+                    == sidx[:, None]
+                sd = jnp.sum(jnp.where(is_win, s_dst, 0.0), axis=1)
+                inside = jnp.any(is_win & s_inside, axis=1)
+                won = jnp.any(is_win & s_hit, axis=1)
+                smat = jnp.sum(jnp.where(is_win,
+                                         scene.sphere_mat[None, :],
+                                         0), axis=1)
                 centre = jnp.dot(is_win.astype(jnp.float32),
                                  scene.sphere_pos,
                                  precision=jax.lax.Precision.HIGHEST)

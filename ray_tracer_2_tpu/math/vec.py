@@ -7,30 +7,15 @@ arrays, fully traceable under ``jit``/``vmap``/``shard_map``.
 """
 from __future__ import annotations
 
-import os as _os
 
 import jax.numpy as jnp
 
 
 def dot(a, b, keepdims: bool = False):
-    # RT2_DOT_UNROLL=1 (opt-in, read at trace time): unroll small static
-    # trailing dims — a sum REDUCE is a fusion break on TPU (its (..., 3)
-    # input materializes between fusions — docs/PERF_NOTES.md round-3 op
-    # census), while the unrolled form is pure elementwise and fuses with
-    # producer and consumer. NOT bit-identical: inside one elementwise
-    # fusion XLA may contract mul+add into FMA, which a separate reduce
-    # never does (measured: the balls golden moves RMSE 1.8e-3 on CPU with
-    # the unroll forced on). Off by default to keep goldens/oracle streams
-    # bit-stable; decided by on-chip A/B (scripts/sweep_r3.py) with an
-    # RMSE-tolerance gate (tests/test_noreduce.py::test_dot_unroll_close).
-    if _os.environ.get("RT2_DOT_UNROLL", "0") == "1":
-        n = a.shape[-1] if hasattr(a, "shape") and a.shape else None
-        if n is not None and 1 <= n <= 4:
-            prod = a * b
-            out = prod[..., 0]
-            for i in range(1, n):
-                out = out + prod[..., i]
-            return out[..., None] if keepdims else out
+    # An unrolled elementwise variant (RT2_DOT_UNROLL) was measured on chip
+    # and deleted: no speedup (docs/PERF_NOTES.md round-3 on-chip session)
+    # and not bit-stable (FMA contraction inside elementwise fusions moved
+    # the balls golden RMSE 1.8e-3).
     return jnp.sum(a * b, axis=-1, keepdims=keepdims)
 
 

@@ -55,18 +55,9 @@ def bench_one(scene_name, env=None, frames=8, warmup=2, width=1920,
 
 
 CONFIGS = [
+    # RT2_NOREDUCE / RT2_DOT_UNROLL configs removed: measured LOSERS on
+    # every scene (docs/PERF_NOTES.md round-3 on-chip session), deleted.
     ("dragon", {}),
-    # reduction-free winner extraction (fusion-break diet): bit-identical
-    # (tests/test_noreduce.py); flip the megakernel default if it wins
-    ("dragon", {"RT2_NOREDUCE": "1"}),
-    ("sponza", {"RT2_NOREDUCE": "1"}),
-    ("room2", {"RT2_NOREDUCE": "1"}),
-    ("random_balls", {"RT2_NOREDUCE": "1"}),
-    # small-dot reduce unroll (ROUNDING change — tolerance-gated, see
-    # tests/test_noreduce.py::test_dot_unroll_close); measured on top of
-    # the noreduce winner so the flags compose
-    ("dragon", {"RT2_NOREDUCE": "1", "RT2_DOT_UNROLL": "1"}),
-    ("random_balls", {"RT2_NOREDUCE": "1", "RT2_DOT_UNROLL": "1"}),
     ("random_balls", {}),                              # fast dense (new)
     ("random_balls", {"RT2_SPHERE_FAST": "0"}),        # exact dense (old)
     ("random_balls", {"RT2_PALLAS_SPHERE_CAP": "512"}),  # Pallas whole-path
@@ -109,9 +100,29 @@ def main():
     add_texture_test()
     names = sys.argv[1:]
     out_path = "/tmp/sweep_r3.log"
+    # Resume support: skip configs already measured (by scene+env+kw key)
+    # so an interrupted sweep re-run doesn't repeat finished work.
+    done = set()
+    if os.path.exists(out_path):
+        for ln in open(out_path):
+            try:
+                r = json.loads(ln)
+            except ValueError:
+                continue
+            if "mrays" in r:
+                done.add((r["scene"], json.dumps(r.get("env") or {},
+                                                 sort_keys=True),
+                          json.dumps(r.get("kw"), sort_keys=True)))
     with open(out_path, "a") as fh:
         for scene, env in CONFIGS:
             if names and scene not in names:
+                continue
+            kw_peek = env.get("_kw") if isinstance(env, dict) else None
+            env_peek = {k: v for k, v in env.items() if k != "_kw"}
+            key = (scene, json.dumps(env_peek, sort_keys=True),
+                   json.dumps(kw_peek, sort_keys=True))
+            if key in done:
+                print(f"skip (done): {key}", flush=True)
                 continue
             try:
                 kw = env.pop("_kw", None) if isinstance(env, dict) else None
