@@ -103,6 +103,9 @@ def main():
     ap.add_argument("--boundaries", type=int, default=None,
                     help="boundary phases chained per loop iteration "
                          "(kernels/megakernel.py)")
+    ap.add_argument("--packet", type=int, default=None,
+                    help="rays per traversal lane (packet=P union "
+                         "traversal; default 1 / tuned.json)")
     ap.add_argument("--log-cap", type=int, default=None,
                     help="completion-log append width cap per boundary")
     ap.add_argument("--mesh", type=int, default=0,
@@ -159,6 +162,7 @@ def main():
     else:
         n_chips = 1
         renderer = Renderer(lanes=args.lanes, unroll=args.unroll,
+                            packet=args.packet,
                             shade_every=args.shade_every, claim=args.claim,
                             cohorts=args.cohorts, boundaries=args.boundaries,
                             log_cap=args.log_cap)

@@ -146,8 +146,23 @@ def _bvh_instances(scene: RenderScene):
 
 
 def _make_parts(scene: RenderScene, B: int, bounces: int, skybox: bool,
-                normal_maps: bool = False, nee: bool = False):
-    """Build the shared kernel phases as closures over one (scene, B)."""
+                normal_maps: bool = False, nee: bool = False,
+                packet: int = 1):
+    """Build the shared kernel phases as closures over one (scene, B).
+
+    ``packet`` = P rays per traversal lane (RAY PACKETS): every ROW GATHER
+    and all traversal control state (I_CUR / I_PTR / I_SP, the resume
+    stack) live at packet granularity (BP = B // P), while rays keep their
+    own physics state (M ray + per-ray best, F path state, RNG, shading).
+    A packet traverses the UNION of its rays' needs — a wide row is
+    entered when ANY live ray hits a child slab (each ray pruned by its
+    own best), and each ray tests every fetched leaf against its own
+    best. Fetches per ray only go DOWN (a row serves up to P rays where
+    scalar lanes would fetch it up to P times); the replay sim on the
+    real dragon BVH measured 3.8x fewer fetches on 2x4-pixel primary
+    packets and 2.2x on first-bounce packets at P=4
+    (scripts/sim_packet.py). P == 1 is the exact original kernel: every
+    packet helper below degenerates to identity."""
     from ray_tracer_2_tpu.kernels.trace import (
         _gather_material, _mat4_apply, _reflectance, environment_light,
     )
@@ -189,6 +204,34 @@ def _make_parts(scene: RenderScene, B: int, bounces: int, skybox: bool,
     D = int(scene.wide_depth) + 2  # resume-stack depth (static)
     w2m_all = scene.inst_world_to_model
     m2w_all = scene.inst_model_to_world
+
+    # ---- ray-packet helpers (identity at P == 1) ---------------------
+    P = packet
+    assert B % P == 0, (B, P)
+    BP = B // P
+
+    def rep(x):
+        """(BP, ...) packet value -> (B, ...) per-ray broadcast."""
+        if P == 1:
+            return x
+        return jnp.broadcast_to(x[:, None], (BP, P) + x.shape[1:]) \
+            .reshape((B,) + x.shape[1:])
+
+    def pkt_any(x):
+        """(B, ...) per-ray bool -> (BP, ...) any-over-packet."""
+        if P == 1:
+            return x
+        return x.reshape((BP, P) + x.shape[1:]).any(axis=1)
+
+    def pkt_min(x):
+        if P == 1:
+            return x
+        return x.reshape((BP, P) + x.shape[1:]).min(axis=1)
+
+    def pkt_max(x):
+        if P == 1:
+            return x
+        return x.reshape((BP, P) + x.shape[1:]).max(axis=1)
 
     def _sel4x4(table, ids, ptr):
         out = jnp.broadcast_to(table[ids[0]], (B, 4, 4))
@@ -238,10 +281,11 @@ def _make_parts(scene: RenderScene, B: int, bounces: int, skybox: bool,
         sph_root_row = scene.wide_rows[sph_root]
 
     def root_row_for(ptr):
-        out = jnp.broadcast_to(root_rows[0], (B, 128))
+        """Root row per PACKET (``ptr`` is the (BP,) phase pointer)."""
+        out = jnp.broadcast_to(root_rows[0], (BP, 128))
         for j in range(1, n_bvh):
             out = jnp.where((ptr == j)[:, None],
-                            jnp.broadcast_to(root_rows[j], (B, 128)), out)
+                            jnp.broadcast_to(root_rows[j], (BP, 128)), out)
         return out
 
     # f16 unpack via integer arithmetic: no f16 dtype ops, no lane
@@ -298,15 +342,23 @@ def _make_parts(scene: RenderScene, B: int, bounces: int, skybox: bool,
         resume stack stores it for pop-time pruning (a resumed subtree
         whose stored min >= the current best hit cannot contain a closer
         hit; dropping such entries measured -17% primary / -4% bounce
-        fetches on the dragon, scripts/sim_popprune.py)."""
+        fetches on the dragon, scripts/sim_popprune.py).
+
+        Packet form: ``row``/``k`` are per PACKET (BP,...), ``om``/
+        ``inv_dm``/``limit`` per RAY (B,...); the slab test runs per ray
+        and the returned (mask, c_min, dn2) are the UNION over each
+        packet's rays (hit = any ray hits; distances = min over rays —
+        conservative for pruning, exact for hit/miss)."""
         lo_a, hi_a = unpack_child_aabbs(row)
-        hit, tn = slab_blocked(lo_a, hi_a, om, inv_dm, limit)
-        hit = hit & (child_lane < k[:, None])
+        hit, tn = slab_blocked(rep(lo_a), rep(hi_a), om, inv_dm, limit)
+        hit = hit & (child_lane < rep(k)[:, None])
         dn = jnp.where(hit, tn, INF)
-        bits = hit.astype(jnp.int32) << child_lane
+        hit_p = pkt_any(hit)
+        dn_p = pkt_min(dn)
+        bits = hit_p.astype(jnp.int32) << child_lane
         mask = jnp.sum(bits, axis=1)
-        c_min = jnp.argmin(dn, axis=1).astype(jnp.int32)
-        dn2 = jnp.min(jnp.where(child_lane == c_min[:, None], INF, dn),
+        c_min = jnp.argmin(dn_p, axis=1).astype(jnp.int32)
+        dn2 = jnp.min(jnp.where(child_lane == c_min[:, None], INF, dn_p),
                       axis=1)
         return mask, c_min, dn2
 
@@ -314,7 +366,9 @@ def _make_parts(scene: RenderScene, B: int, bounces: int, skybox: bool,
         """Evaluate a wide row for freshly-entering lanes (t_limit = INF, or
         ``limit`` — the sphere phase enters with the segment's current best
         world distance): nearest-hit child entry + remainder push onto an
-        empty stack. Returns (cur — -1 on miss, SB, SM, SD, sp, k)."""
+        empty stack. Returns (cur — -1 on miss, SB, SM, SD, sp, k).
+        Packet form: ``row``/``enter``/stack/cur at (BP,...); ``om``/
+        ``dm``/``limit`` per ray."""
         inv_dm = 1.0 / dm
         k = row[:, wd.COL_K].astype(jnp.int32)
         if limit is None:
@@ -334,22 +388,22 @@ def _make_parts(scene: RenderScene, B: int, bounces: int, skybox: bool,
         return cur, SB, SM, SD, sp, k
 
     def traversal_step(F, M, W, I, S):
-        cur = I[:, I_CUR]
-        active = cur >= 0
-        om, dm = M[:, 0:3], M[:, 3:6]
+        cur = I[:, I_CUR]                 # (BP,) packet traversal pointer
+        active = cur >= 0                 # (BP,)
+        om, dm = M[:, 0:3], M[:, 3:6]     # per-ray model-space ray
         inv_dm = 1.0 / dm
         safe = jnp.where(active, cur, 0)
-        row = jnp.take(scene.wide_rows, safe, axis=0)
+        row = jnp.take(scene.wide_rows, safe, axis=0)   # (BP, 128)
 
-        best_dst = M[:, 6]
+        best_dst = M[:, 6]                # per-ray pruning limit / best
         count = row[:, wd.COL_COUNT]
-        is_leaf = active & (count > 0.5)
+        is_leaf = active & (count > 0.5)  # (BP,)
         is_wide = active & (count < 0.5)
 
         # ---- wide row: test up to 32 child slabs (one blocked vector op
-        # batch); enter the NEAREST hit child (per-ray), stack the rest as
-        # a positional hit mask. Empty slots hold inverted boxes; the
-        # c < k gate inside wide_eval is what really excludes them ----
+        # batch); enter the NEAREST hit child (packet union), stack the
+        # rest as a positional hit mask. Empty slots hold inverted boxes;
+        # the c < k gate inside wide_eval is what really excludes them ----
         k = row[:, wd.COL_K].astype(jnp.int32)
         mask, c_min, dn2 = wide_eval(row, om, inv_dm, best_dst, k)
         mask = jnp.where(is_wide, mask, 0)
@@ -363,11 +417,11 @@ def _make_parts(scene: RenderScene, B: int, bounces: int, skybox: bool,
         # scenes without a sphere BVH compile out the sphere test.
         if sph:
             sph_phase = active if n_bvh == 0 else \
-                (active & (I[:, I_PTR] == n_bvh))
+                (active & (I[:, I_PTR] == n_bvh))      # (BP,)
         omx, omy, omz = om[:, 0:1], om[:, 1:2], om[:, 2:3]
         dmx, dmy, dmz = dm[:, 0:1], dm[:, 1:2], dm[:, 2:3]
         best_u, best_v, best_det = M[:, 7], M[:, 8], M[:, 9]
-        best_tri, best_mat = I[:, I_TRI], I[:, I_MAT]
+        best_tri, best_mat = I[:, I_TRI], I[:, I_MAT]   # per-ray winners
         G = wd.COL_LEAF_GEO
 
         if n_bvh:
@@ -377,17 +431,19 @@ def _make_parts(scene: RenderScene, B: int, bounces: int, skybox: bool,
             # the sequential per-triangle loop of (B, 3) slices was the only
             # step cost not hidden under the row-gather latency
             # (scripts/ablate_step.py) ----
-            tri_leaf = is_leaf if not sph else (is_leaf & ~sph_phase)
-            first = row[:, wd.COL_FIRST].astype(jnp.int32)
-            v0x, v0y, v0z = row[:, G:G+8], row[:, G+8:G+16], row[:, G+16:G+24]
-            e1x, e1y, e1z = row[:, G+24:G+32], row[:, G+32:G+40], \
-                row[:, G+40:G+48]
-            e2x, e2y, e2z = row[:, G+48:G+56], row[:, G+56:G+64], \
-                row[:, G+64:G+72]
-            nx_, ny_, nz_ = row[:, G+72:G+80], row[:, G+80:G+88], \
-                row[:, G+88:G+96]
+            tri_leaf = rep(is_leaf if not sph else (is_leaf & ~sph_phase))
+            first = rep(row[:, wd.COL_FIRST].astype(jnp.int32))
+            rw = rep(row)   # (B, 128): leaf geometry expanded to the rays
+            v0x, v0y, v0z = rw[:, G:G+8], rw[:, G+8:G+16], \
+                rw[:, G+16:G+24]
+            e1x, e1y, e1z = rw[:, G+24:G+32], rw[:, G+32:G+40], \
+                rw[:, G+40:G+48]
+            e2x, e2y, e2z = rw[:, G+48:G+56], rw[:, G+56:G+64], \
+                rw[:, G+64:G+72]
+            nx_, ny_, nz_ = rw[:, G+72:G+80], rw[:, G+80:G+88], \
+                rw[:, G+88:G+96]
             det8 = -(dmx * nx_ + dmy * ny_ + dmz * nz_)
-            mc = row[:, wd.COL_MATCULL:wd.COL_MATCULL + 8].astype(jnp.int32)
+            mc = rw[:, wd.COL_MATCULL:wd.COL_MATCULL + 8].astype(jnp.int32)
             cull8 = (mc & 1) == 1
             keep8 = (cull8 & (det8 >= 1e-8)) | (~cull8 & (jnp.abs(det8) >= 1e-8))
             inv8 = 1.0 / jnp.where(keep8, det8, 1.0)
@@ -435,12 +491,13 @@ def _make_parts(scene: RenderScene, B: int, bounces: int, skybox: bool,
             # lexicographic compare, seeded with SPH_SENT so a sphere
             # BEATS an equal-distance triangle/brute hit — the dense order
             # evaluated spheres first and later phases compared strictly. ----
-            sph_leaf = is_leaf if n_bvh == 0 else (is_leaf & sph_phase)
-            cx = row[:, G:G+8]
-            cy = row[:, G+8:G+16]
-            cz = row[:, G+16:G+24]
-            r2 = row[:, G+24:G+32]
-            sid = row[:, wd.COL_SPH_ID:wd.COL_SPH_ID + 8]
+            sph_leaf = rep(is_leaf if n_bvh == 0 else (is_leaf & sph_phase))
+            rws = rep(row)
+            cx = rws[:, G:G+8]
+            cy = rws[:, G+8:G+16]
+            cz = rws[:, G+16:G+24]
+            r2 = rws[:, G+24:G+32]
+            sid = rws[:, wd.COL_SPH_ID:wd.COL_SPH_ID + 8]
             ocx, ocy, ocz = omx - cx, omy - cy, omz - cz
             a1 = dmx * dmx + dmy * dmy + dmz * dmz
             b1 = 2.0 * (ocx * dmx + ocy * dmy + ocz * dmz)
@@ -481,7 +538,10 @@ def _make_parts(scene: RenderScene, B: int, bounces: int, skybox: bool,
 
         finished = active & (is_leaf | (is_wide & ~has))
         SDf = jax.lax.bitcast_convert_type(SD, jnp.float32)
-        live_e = (stack_cols < sp[:, None]) & (SDf < best_dst[:, None])
+        # pop-time pruning vs the packet's LOOSEST ray (max best): an
+        # entry is dead only when NO ray can still find a closer hit there
+        best_pkt = pkt_max(best_dst)
+        live_e = (stack_cols < sp[:, None]) & (SDf < best_pkt[:, None])
         any_live = jnp.any(live_e, axis=1)
         pstar = jnp.max(jnp.where(live_e, stack_cols, -1), axis=1)
         at_top0 = stack_cols == pstar[:, None]
@@ -508,8 +568,9 @@ def _make_parts(scene: RenderScene, B: int, bounces: int, skybox: bool,
         I = I.at[:, I_SP].set(sp)
         I = I.at[:, I_TRI].set(best_tri)
         I = I.at[:, I_MAT].set(best_mat)
-        I = I.at[:, I_SN].add(jnp.where(is_wide, k, 0))
-        I = I.at[:, I_ST].add(jnp.where(is_leaf, count.astype(jnp.int32), 0))
+        I = I.at[:, I_SN].add(rep(jnp.where(is_wide, k, 0)))
+        I = I.at[:, I_ST].add(rep(jnp.where(is_leaf,
+                                            count.astype(jnp.int32), 0)))
         return F, M, W, I, S
 
     # ------------------------------------ instance advance (inline) --
@@ -524,7 +585,7 @@ def _make_parts(scene: RenderScene, B: int, bounces: int, skybox: bool,
             return _advance_impl(F, M, W, I, S)
         cur = I[:, I_CUR]
         ptr = I[:, I_PTR]
-        live = (I[:, I_BOUNCE] != DONE) & (I[:, I_BOUNCE] != IDLE)
+        live = pkt_any((I[:, I_BOUNCE] != DONE) & (I[:, I_BOUNCE] != IDLE))
         pending = (cur == -1) & (ptr < n_phase) & live
         return jax.lax.cond(jnp.any(pending), _advance_impl,
                             lambda *s: s, F, M, W, I, S)
@@ -535,7 +596,7 @@ def _make_parts(scene: RenderScene, B: int, bounces: int, skybox: bool,
         from exact one-hot matmuls (HIGHEST) — the same fetch the dense
         prepass used — and the inside flag is recomputed with the identical
         quadratic, so every value is bit-equal to the dense path's."""
-        got = at_send & (I[:, I_TRI] != SPH_SENT)
+        got = rep(at_send) & (I[:, I_TRI] != SPH_SENT)
         Ssp = scene.n_spheres
         sid = jnp.clip(I[:, I_TRI], 0, Ssp - 1)
         oh = (sid[:, None] == jnp.arange(Ssp, dtype=jnp.int32)[None, :]
@@ -566,9 +627,9 @@ def _make_parts(scene: RenderScene, B: int, bounces: int, skybox: bool,
         return W, I
 
     def _advance_impl(F, M, W, I, S):
-        cur = I[:, I_CUR]
-        ptr = I[:, I_PTR]
-        live = (I[:, I_BOUNCE] != DONE) & (I[:, I_BOUNCE] != IDLE)
+        cur = I[:, I_CUR]                 # (BP,)
+        ptr = I[:, I_PTR]                 # (BP,)
+        live = pkt_any((I[:, I_BOUNCE] != DONE) & (I[:, I_BOUNCE] != IDLE))
         o = F[:, 0:3]
 
         if sph:
@@ -581,10 +642,11 @@ def _make_parts(scene: RenderScene, B: int, bounces: int, skybox: bool,
                 (cur == -1) & (ptr == 0) & live, 1, ptr))
             return F, M, W, I, S
 
-        at_end = (cur == -1) & (ptr < n_bvh) & live
+        at_end = (cur == -1) & (ptr < n_bvh) & live      # (BP,)
+        at_end_r = rep(at_end)
         om, dm = M[:, 0:3], M[:, 3:6]
-        got = at_end & (I[:, I_TRI] >= 0)
-        m2w = m2w_for(ptr)
+        got = at_end_r & (I[:, I_TRI] >= 0)              # per-ray merge
+        m2w = m2w_for(rep(ptr))
         local_hp = om + dm * M[:, 6:7]
         world_hp = jnp.einsum("bij,bj->bi", m2w[:, :3, :3], local_hp) \
             + m2w[:, :3, 3]
@@ -594,13 +656,14 @@ def _make_parts(scene: RenderScene, B: int, bounces: int, skybox: bool,
             world_dst[:, None], M[:, 7:10], world_hp, jnp.zeros((B, 5))],
             axis=1), W)
         I = I.at[:, I_STRI].set(jnp.where(better, I[:, I_TRI], I[:, I_STRI]))
-        I = I.at[:, I_SMAT].set(jnp.where(better, I[:, I_MAT] + delta_for(ptr),
+        I = I.at[:, I_SMAT].set(jnp.where(better,
+                                          I[:, I_MAT] + delta_for(rep(ptr)),
                                           I[:, I_SMAT]))
         # static where-chain, not a take: a (B,)-indexed take is a per-lane
         # scalar gather (~177 us at B=16k) even on a tiny table
         raw = jnp.full((B,), bvh_ids[0], jnp.int32)
         for j in range(1, n_bvh):
-            raw = jnp.where(ptr == j, jnp.int32(bvh_ids[j]), raw)
+            raw = jnp.where(rep(ptr) == j, jnp.int32(bvh_ids[j]), raw)
         I = I.at[:, I_FLAG].set(jnp.where(better, raw, I[:, I_FLAG]))
 
         new_ptr = jnp.where(at_end, ptr + 1, ptr)
@@ -609,8 +672,9 @@ def _make_parts(scene: RenderScene, B: int, bounces: int, skybox: bool,
                                 n_bvh + 1, new_ptr)
         SB, SM, SD = S
         if n_bvh > 1:
-            entering = at_end & (new_ptr < n_bvh)
-            w2m = w2m_for(new_ptr)
+            entering = at_end & (new_ptr < n_bvh)        # (BP,)
+            entering_r = rep(entering)
+            w2m = w2m_for(rep(new_ptr))
             d = F[:, 3:6]
             om_n = jnp.einsum("bij,bj->bi", w2m[:, :3, :3], o) + w2m[:, :3, 3]
             dm_n = normalize(jnp.einsum("bij,bj->bi", w2m[:, :3, :3], d))
@@ -619,12 +683,17 @@ def _make_parts(scene: RenderScene, B: int, bounces: int, skybox: bool,
             # as start_segments. Cuts the second instance's traversal on
             # room2-class scenes wherever the first already found a closer
             # hit.
-            m2w_n = m2w_for(new_ptr)
+            m2w_n = m2w_for(rep(new_ptr))
             wv_n = jnp.einsum("bij,bj->bi", m2w_n[:, :3, :3], dm_n)
             slack_e = 8e-6 * (1.0 + jnp.sqrt(dot(o, o)))
             limit_e = (W[:, 0] * (1.0 + 4e-6) + slack_e) \
                 / jnp.sqrt(dot(wv_n, wv_n))
-            M = jnp.where(entering[:, None], jnp.concatenate(
+            if P > 1:
+                # inert rays (M best pinned at -INF by start_segments) stay
+                # inert across instance entries
+                limit_e = jnp.where(M[:, 6] <= jnp.float32(-INF),
+                                    jnp.float32(-INF), limit_e)
+            M = jnp.where(entering_r[:, None], jnp.concatenate(
                 [om_n, dm_n, limit_e[:, None], jnp.zeros((B, 3))],
                 axis=1), M)
             # inline root evaluation: entering lanes land directly on the
@@ -634,9 +703,9 @@ def _make_parts(scene: RenderScene, B: int, bounces: int, skybox: bool,
                 root_row_for(new_ptr), om_n, dm_n, entering, SB, SM, SD,
                 limit=limit_e)
             I = I.at[:, I_CUR].set(jnp.where(entering, cur_e, I[:, I_CUR]))
-            I = I.at[:, I_TRI].set(jnp.where(entering, -1, I[:, I_TRI]))
+            I = I.at[:, I_TRI].set(jnp.where(entering_r, -1, I[:, I_TRI]))
             I = I.at[:, I_SP].set(jnp.where(entering, sp_e, I[:, I_SP]))
-            I = I.at[:, I_SN].add(jnp.where(entering, k_e, 0))
+            I = I.at[:, I_SN].add(rep(jnp.where(entering, k_e, 0)))
         # else: the tri entering block is logically dead on 1-instance
         # scenes (new_ptr always reaches n_bvh). Keeping it once measured
         # FASTER (dead ops overlapped gather latency, 8.25 vs 7.43);
@@ -647,18 +716,22 @@ def _make_parts(scene: RenderScene, B: int, bounces: int, skybox: bool,
             # lanes that just finished the LAST triangle instance enter the
             # sphere BVH (world space, seeded with the segment's best world
             # distance for slab pruning + the lex-tie seed)
-            entering_s = at_end & (new_ptr == n_bvh)
+            entering_s = at_end & (new_ptr == n_bvh)     # (BP,)
             d = F[:, 3:6]
-            M = jnp.where(entering_s[:, None], jnp.concatenate(
-                [o, d, W[:, 0:1], jnp.zeros((B, 3))], axis=1), M)
+            limit_s = W[:, 0]
+            if P > 1:
+                limit_s = jnp.where(M[:, 6] <= jnp.float32(-INF),
+                                    jnp.float32(-INF), limit_s)
+            M = jnp.where(rep(entering_s)[:, None], jnp.concatenate(
+                [o, d, limit_s[:, None], jnp.zeros((B, 3))], axis=1), M)
             cur_s, SB, SM, SD, sp_s, k_s = wide_enter(
-                jnp.broadcast_to(sph_root_row, (B, 128)), o, d, entering_s,
-                SB, SM, SD, limit=W[:, 0])
+                jnp.broadcast_to(sph_root_row, (BP, 128)), o, d, entering_s,
+                SB, SM, SD, limit=limit_s)
             I = I.at[:, I_CUR].set(jnp.where(entering_s, cur_s, I[:, I_CUR]))
-            I = I.at[:, I_TRI].set(jnp.where(entering_s, SPH_SENT,
+            I = I.at[:, I_TRI].set(jnp.where(rep(entering_s), SPH_SENT,
                                              I[:, I_TRI]))
             I = I.at[:, I_SP].set(jnp.where(entering_s, sp_s, I[:, I_SP]))
-            I = I.at[:, I_SN].add(jnp.where(entering_s, k_s, 0))
+            I = I.at[:, I_SN].add(rep(jnp.where(entering_s, k_s, 0)))
         S = (SB, SM, SD)
         I = I.at[:, I_PTR].set(new_ptr)
         return F, M, W, I, S
@@ -1144,6 +1217,16 @@ def _make_parts(scene: RenderScene, B: int, bounces: int, skybox: bool,
         (wide_enter) — no root-row gather."""
         W_new, M_new, seg_tri2, seg_mat2, seg_flag = segment_prepass(o, d)
         sb = starts[:, None]
+        # Packet bookkeeping: the traversal (CUR/PTR/SP/stack) starts when
+        # ANY ray of the packet starts a segment. Rays of a starting packet
+        # that do NOT start (dead, or log-cap deferred awaiting replay) ride
+        # along INERT: their pruning limit is -INF (no slab/leaf/sphere
+        # contribution to the union or to their own state) and their
+        # traversal scratch I_TRI is reset so advance_instance's merge
+        # cannot fire for them. P == 1: starts_pkt == starts, inert == [].
+        starts_pkt = pkt_any(starts)
+        inert = rep(starts_pkt) & ~starts
+        NINF = jnp.float32(-INF)
         # F[:, 14:] (the nee_mode-2 shadow stash, width 0 otherwise) is
         # carried through untouched; the boundary overwrites it afterwards
         F = jnp.concatenate([o, d, trans, incoming, F[:, 14:]], axis=1)
@@ -1188,39 +1271,46 @@ def _make_parts(scene: RenderScene, B: int, bounces: int, skybox: bool,
                 / jnp.sqrt(dot(wv, wv))
             M_new = M_new.at[:, 6].set(limit0)
             M = jnp.where(sb, M_new, M)
+            if P > 1:
+                M = M.at[:, 6].set(jnp.where(inert, NINF, M[:, 6]))
             SB, SM, SD = S
             cur0, SB, SM, SD, sp0, k0 = wide_enter(
-                jnp.broadcast_to(root_rows[0], (B, 128)),
-                M_new[:, 0:3], M_new[:, 3:6], starts, SB, SM, SD,
-                limit=limit0)
+                jnp.broadcast_to(root_rows[0], (BP, 128)),
+                M_new[:, 0:3], M_new[:, 3:6], starts_pkt, SB, SM, SD,
+                limit=jnp.where(starts, limit0, NINF) if P > 1 else limit0)
             S = (SB, SM, SD)
-            I = I.at[:, I_CUR].set(jnp.where(starts, cur0, I[:, I_CUR]))
-            I = I.at[:, I_SP].set(jnp.where(starts, sp0, I[:, I_SP]))
-            I = I.at[:, I_SN].add(jnp.where(starts, k0, 0))
+            I = I.at[:, I_CUR].set(jnp.where(starts_pkt, cur0, I[:, I_CUR]))
+            I = I.at[:, I_SP].set(jnp.where(starts_pkt, sp0, I[:, I_SP]))
+            I = I.at[:, I_SN].add(jnp.where(starts, rep(k0), 0))
         elif sph:
             # no triangle instances: the segment starts directly in the
             # sphere-BVH phase (world ray, best seeded from the brute
             # prepass — INF on pure-sphere scenes)
             M = jnp.where(sb, jnp.concatenate(
                 [o, d, W_new[:, 0:1], jnp.zeros((B, 3))], axis=1), M)
+            if P > 1:
+                M = M.at[:, 6].set(jnp.where(inert, NINF, M[:, 6]))
             SB, SM, SD = S
             cur0, SB, SM, SD, sp0, k0 = wide_enter(
-                jnp.broadcast_to(sph_root_row, (B, 128)), o, d, starts,
-                SB, SM, SD, limit=W_new[:, 0])
+                jnp.broadcast_to(sph_root_row, (BP, 128)), o, d, starts_pkt,
+                SB, SM, SD,
+                limit=jnp.where(starts, W_new[:, 0], NINF) if P > 1
+                else W_new[:, 0])
             S = (SB, SM, SD)
-            I = I.at[:, I_CUR].set(jnp.where(starts, cur0, I[:, I_CUR]))
-            I = I.at[:, I_SP].set(jnp.where(starts, sp0, I[:, I_SP]))
-            I = I.at[:, I_SN].add(jnp.where(starts, k0, 0))
+            I = I.at[:, I_CUR].set(jnp.where(starts_pkt, cur0, I[:, I_CUR]))
+            I = I.at[:, I_SP].set(jnp.where(starts_pkt, sp0, I[:, I_SP]))
+            I = I.at[:, I_SN].add(jnp.where(starts, rep(k0), 0))
         else:
-            I = I.at[:, I_CUR].set(jnp.where(starts, -1, I[:, I_CUR]))
-            I = I.at[:, I_SP].set(jnp.where(starts, 0, I[:, I_SP]))
+            I = I.at[:, I_CUR].set(jnp.where(starts_pkt, -1, I[:, I_CUR]))
+            I = I.at[:, I_SP].set(jnp.where(starts_pkt, 0, I[:, I_SP]))
         if ffwd:
             ptr0 = jnp.where(cur0 < 0, n_phase, 0)
         else:
             ptr0 = 0
-        I = I.at[:, I_PTR].set(jnp.where(starts, ptr0, I[:, I_PTR]))
+        I = I.at[:, I_PTR].set(jnp.where(starts_pkt, ptr0, I[:, I_PTR]))
         I = I.at[:, I_TRI].set(jnp.where(
-            starts, SPH_SENT if (sph and n_bvh == 0) else -1, I[:, I_TRI]))
+            starts | inert, SPH_SENT if (sph and n_bvh == 0) else -1,
+            I[:, I_TRI]))
         I = I.at[:, I_STRI].set(jnp.where(starts, seg_tri2, I[:, I_STRI]))
         I = I.at[:, I_SMAT].set(jnp.where(starts, seg_mat2, I[:, I_SMAT]))
         I = I.at[:, I_FLAG].set(jnp.where(starts, seg_flag, I[:, I_FLAG]))
@@ -1251,13 +1341,17 @@ def _cumsum_i32(x):
     return (within + prefix[:, None]).reshape(B).astype(jnp.int32)
 
 
-def _i0(B, seed, n_bvh, bounce0):
+def _i0(B, seed, n_bvh, bounce0, BP=None):
+    """Initial I-state. With ray packets, the traversal-control columns
+    (I_CUR / I_PTR / I_SP) live at packet granularity ``BP``; everything
+    else is per-ray (B,)."""
+    BP = B if BP is None else BP
     return ColState([
         jax.lax.bitcast_convert_type(seed, jnp.int32),
         jnp.full((B,), bounce0, jnp.int32),
         jnp.zeros((B,), jnp.int32),
-        jnp.full((B,), -1, jnp.int32),
-        jnp.full((B,), n_bvh, jnp.int32),
+        jnp.full((BP,), -1, jnp.int32),   # I_CUR (packet)
+        jnp.full((BP,), n_bvh, jnp.int32),  # I_PTR (packet)
         jnp.full((B,), -1, jnp.int32),
         jnp.zeros((B,), jnp.int32),
         jnp.full((B,), -1, jnp.int32),
@@ -1267,7 +1361,7 @@ def _i0(B, seed, n_bvh, bounce0):
         jnp.zeros((B,), jnp.int32),
         jnp.full((B,), -1, jnp.int32),   # pixel
         jnp.zeros((B,), jnp.int32),      # sample index
-        jnp.zeros((B,), jnp.int32),
+        jnp.zeros((BP,), jnp.int32),     # I_SP (packet)
         jnp.zeros((B,), jnp.int32),
     ])
 
@@ -1339,6 +1433,7 @@ def render_persistent(scene: RenderScene, frames, *, width: int, height: int,
                       boundaries: int = 1, log_cap: int | None = None,
                       claim_shuffle: bool = True,
                       antialias: bool = False, nee: bool = False,
+                      packet: int | None = None,
                       return_iters: bool = False):
     """Persistent-lanes whole-image render. Returns ((rows, width, 4) image,
     total traced segments). Pixel p maps to (x = p %% width,
@@ -1375,6 +1470,7 @@ def render_persistent(scene: RenderScene, frames, *, width: int, height: int,
     # callers pass through) never sees a knob change under a live trace.
     lanes = tuning.resolve("lanes", lanes, 16384)
     unroll = tuning.resolve("unroll", unroll, 5)
+    packet = tuning.resolve("packet", packet, 1)
     rows = height if rows is None else rows
     total = rows * width
     rpp = max(rays_per_pixel, 1)
@@ -1386,10 +1482,34 @@ def render_persistent(scene: RenderScene, frames, *, width: int, height: int,
         assert shade_every == 0 and claim == "queue", \
             "boundaries>1 requires the ungated queue boundary"
     B = lanes // cohorts
-    parts = _make_parts(scene, B, bounces, skybox, normal_maps, nee=nee)
+    # ---- ray packets (``packet`` = P rays per traversal lane): ``lanes``
+    # keeps meaning RAYS in flight; row gathers and traversal control run
+    # at B // P packet granularity (see _make_parts docstring). Claim
+    # order stays scan-order (shuffle off): rays of a packet that restart
+    # in the same boundary receive ADJACENT pixels, which is what keeps
+    # primary packets coherent (scripts/sim_packet.py).
+    packet = max(int(packet), 1)
+    assert B % packet == 0, (B, packet)
+    if packet > 1:
+        assert claim == "queue" and shade_every == 0 and cohorts == 1, \
+            "packet>1 supports the default queue claim + ungated boundary"
+        claim_shuffle = False
+    parts = _make_parts(scene, B, bounces, skybox, normal_maps, nee=nee,
+                        packet=packet)
+    BP = B // packet
     n_bvh = parts["n_bvh"]  # 0 is fine: boundary-only loop (no traversal)
     n_phase = parts["n_phase"]
     has_trav = n_phase > 0  # any BVH (triangle or sphere) to traverse
+
+    def _rep(x):   # (BP,) -> (B,), identity at packet == 1
+        if packet == 1:
+            return x
+        return jnp.broadcast_to(x[:, None], (BP, packet)).reshape(B)
+
+    def _pkt_any(x):
+        if packet == 1:
+            return x
+        return x.reshape(BP, packet).any(axis=1)
 
     cam = scene.cam_to_world
     cam_origin = cam[:3, 3]
@@ -1434,10 +1554,10 @@ def render_persistent(scene: RenderScene, frames, *, width: int, height: int,
     M0 = jnp.concatenate([jnp.ones((B, 6)), jnp.full((B, 1), INF),
                           jnp.zeros((B, 3))], axis=1)
     W0 = jnp.concatenate([jnp.full((B, 1), INF), jnp.zeros((B, 11))], axis=1)
-    I0 = _i0(B, jnp.zeros((B,), jnp.uint32), n_phase, IDLE)
+    I0 = _i0(B, jnp.zeros((B,), jnp.uint32), n_phase, IDLE, BP=BP)
     I0 = I0.at[:, I_SAMPLE].set(jnp.full((B,), rpp - 1, jnp.int32))  # first boundary claims a pixel
     A0 = jnp.zeros((B, 4))                # per-pixel sample accumulator
-    S0 = (jnp.zeros((B, parts["stack_depth"]), jnp.int32),) * 3
+    S0 = (jnp.zeros((BP, parts["stack_depth"]), jnp.int32),) * 3
     # Completion LOG instead of a scatter target: the TPU scatter engine
     # runs at ~47 ns/row (measured — slower than gathers), so out.at[p].add
     # per boundary cost ~0.2 s/frame on the dragon. Completed pixels are
@@ -1483,7 +1603,7 @@ def render_persistent(scene: RenderScene, frames, *, width: int, height: int,
     k_cols = jnp.arange(K, dtype=jnp.int32)[None, :, None]
 
     def boundary(F, M, W, I, S, A, logv, logp, cursor, wcursor):
-        at_b = (I[:, I_PTR] >= n_phase) & (I[:, I_BOUNCE] != DONE)
+        at_b = _rep(I[:, I_PTR] >= n_phase) & (I[:, I_BOUNCE] != DONE)
         o, d, trans, incoming, seed, continues_path, nee_new, nee_stash = \
             parts["resolve_and_shade"](F, W, I, at_b)
         bounce = I[:, I_BOUNCE]
@@ -1623,8 +1743,14 @@ def render_persistent(scene: RenderScene, frames, *, width: int, height: int,
             F = jnp.concatenate([F[:, :14], tail], axis=1)
         retire = pixel_done & ~got_job
         I = I.at[:, I_BOUNCE].set(jnp.where(retire, DONE, I[:, I_BOUNCE]))
-        I = I.at[:, I_PTR].set(jnp.where(retire, n_phase, I[:, I_PTR]))
-        I = I.at[:, I_CUR].set(jnp.where(retire, -1, I[:, I_CUR]))
+        # Packets where NO ray started a segment stay parked at the
+        # boundary (ptr == n_phase, cur == -1): all-retired packets stop
+        # traversing, and all-deferred packets replay their resolve next
+        # iteration. (A completed segment already satisfies both values;
+        # the set is defensive, matching the scalar kernel.)
+        stall = _pkt_any(at_b) & ~_pkt_any(starts)
+        I = I.at[:, I_PTR].set(jnp.where(stall, n_phase, I[:, I_PTR]))
+        I = I.at[:, I_CUR].set(jnp.where(stall, -1, I[:, I_CUR]))
         return F, M, W, I, S, A, logv, logp, cursor, wcursor
 
     def cond(state):

@@ -40,6 +40,7 @@ _SCHEMA = {
     "unroll": (int, 1, 16),
     "boundaries": (int, 1, 8),
     "log_cap": (int, 128, 262144),
+    "packet": (int, 1, 16),
 }
 
 

@@ -58,6 +58,18 @@ CONFIGS = [
     # RT2_NOREDUCE / RT2_DOT_UNROLL configs removed: measured LOSERS on
     # every scene (docs/PERF_NOTES.md round-3 on-chip session), deleted.
     ("dragon", {}),
+    # ray packets (union traversal, bit-identical — tests/test_packet.py):
+    # P rays share each row gather; sim_packet.py predicts 3x fewer
+    # fetches at P=4 on the dragon frame mix
+    ("dragon", {"_kw": {"packet": 2}}),
+    ("dragon", {"_kw": {"packet": 4}}),
+    ("dragon", {"_kw": {"packet": 8}}),
+    ("dragon", {"_kw": {"packet": 4, "lanes": 32768}}),
+    ("dragon", {"_kw": {"packet": 4, "lanes": 65536}}),
+    ("dragon", {"_kw": {"packet": 4, "unroll": 8}}),
+    ("sponza", {"_kw": {"packet": 4}}),
+    ("room2", {"_kw": {"packet": 4}}),
+    ("random_balls", {"_kw": {"packet": 4}}),
     ("random_balls", {}),                              # fast dense (new)
     ("random_balls", {"RT2_SPHERE_FAST": "0"}),        # exact dense (old)
     ("random_balls", {"RT2_PALLAS_SPHERE_CAP": "512"}),  # Pallas whole-path
