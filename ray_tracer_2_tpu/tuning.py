@@ -41,6 +41,9 @@ _SCHEMA = {
     "boundaries": (int, 1, 8),
     "log_cap": (int, 128, 262144),
     "packet": (int, 1, 16),
+    # compacted traversal window (megakernel trav_lanes): 0 disables; must
+    # be a 128-multiple below the lane count (asserted at trace time)
+    "trav_lanes": (int, 0, 262144),
 }
 
 
