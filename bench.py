@@ -108,10 +108,6 @@ def main():
                          "traversal; default 1 / tuned.json)")
     ap.add_argument("--log-cap", type=int, default=None,
                     help="completion-log append width cap per boundary")
-    ap.add_argument("--trav-lanes", type=int, default=None,
-                    help="compacted traversal window: run each unrolled "
-                         "window on C compacted traversing lanes instead "
-                         "of all --lanes (bit-identical images)")
     ap.add_argument("--mesh", type=int, default=0,
                     help="render row-sharded over an N-device mesh "
                          "(N > available devices is clamped; 0 = unsharded)")
@@ -169,7 +165,7 @@ def main():
                             packet=args.packet,
                             shade_every=args.shade_every, claim=args.claim,
                             cohorts=args.cohorts, boundaries=args.boundaries,
-                            log_cap=args.log_cap, trav_lanes=args.trav_lanes)
+                            log_cap=args.log_cap)
         # First remote compile takes minutes when healthy; bound it so a
         # relay that dies mid-compile still yields an error line.
         guard = _hang_guard(2400, "first compile/warmup", metric)

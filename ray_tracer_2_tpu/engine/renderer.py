@@ -32,8 +32,7 @@ DEFAULT_TILE_COLS = 256
                           "skybox", "debug_mode", "tile_rows", "tile_cols",
                           "lanes", "unroll", "shade_every", "cohorts",
                           "normal_maps", "pallas_spheres", "claim",
-                          "boundaries", "log_cap", "antialias", "nee", "packet",
-                          "trav_lanes"))
+                          "boundaries", "log_cap", "antialias", "nee", "packet"))
 def render_frame(scene: RenderScene, framebuffer: jax.Array, frames: jax.Array,
                  debug_scale: jax.Array, *, width: int, height: int,
                  bounces: int, rays_per_pixel: int, skybox: bool,
@@ -44,8 +43,7 @@ def render_frame(scene: RenderScene, framebuffer: jax.Array, frames: jax.Array,
                  pallas_spheres: bool = False, claim: str | None = None,
                  boundaries: int | None = None, log_cap: int | None = None,
                  antialias: bool = False, nee: bool = False,
-                 packet: int | None = None,
-                 trav_lanes: int | None = None):
+                 packet: int | None = None):
     """Render + accumulate one frame. framebuffer: (height, width, 4) f32.
     Returns (new framebuffer, traced-segment count scalar)."""
     sample, segments = render_sample(
@@ -55,8 +53,7 @@ def render_frame(scene: RenderScene, framebuffer: jax.Array, frames: jax.Array,
         lanes=lanes, unroll=unroll, shade_every=shade_every,
         cohorts=cohorts, normal_maps=normal_maps,
         pallas_spheres=pallas_spheres, claim=claim, boundaries=boundaries,
-        log_cap=log_cap, antialias=antialias, nee=nee, packet=packet,
-        trav_lanes=trav_lanes)
+        log_cap=log_cap, antialias=antialias, nee=nee, packet=packet)
     # Progressive average (ray_tracer.wgsl:154-161): frames <= 0 ⇒ overwrite.
     weight = jnp.where(frames >= 1, 1.0 / (frames.astype(jnp.float32) + 1.0), 1.0)
     return framebuffer * (1.0 - weight) + sample * weight, segments
@@ -74,8 +71,7 @@ def render_sample(scene: RenderScene, frames, debug_scale, *, width: int,
                   claim: str | None = None, boundaries: int | None = None,
                   log_cap: int | None = None,
                   antialias: bool = False, nee: bool = False,
-                  packet: int | None = None,
-                  trav_lanes: int | None = None) -> jax.Array:
+                  packet: int | None = None) -> jax.Array:
     """Radiance for ``rows`` rows starting at ``row_start`` (no accumulation),
     (rows, width, 4). ``row_start`` may be traced (multi-chip row blocks);
     ``width``/``height`` always describe the FULL image (camera uv space).
@@ -124,8 +120,6 @@ def render_sample(scene: RenderScene, frames, debug_scale, *, width: int,
             kw["log_cap"] = log_cap
         if packet is not None:
             kw["packet"] = packet
-        if trav_lanes is not None:
-            kw["trav_lanes"] = trav_lanes
         return megakernel.render_persistent(
             scene, frames, width=width, height=height, bounces=bounces,
             rays_per_pixel=rays_per_pixel, skybox=skybox,
@@ -170,8 +164,7 @@ class Renderer:
                  lanes: int | None = None, unroll: int | None = None,
                  shade_every: int | None = None, cohorts: int | None = None,
                  claim: str | None = None, boundaries: int | None = None,
-                 log_cap: int | None = None, packet: int | None = None,
-                 trav_lanes: int | None = None):
+                 log_cap: int | None = None, packet: int | None = None):
         self.tile_rows = tile_rows
         self.tile_cols = tile_cols
         self.lanes = lanes
@@ -182,7 +175,6 @@ class Renderer:
         self.boundaries = boundaries
         self.log_cap = log_cap
         self.packet = packet
-        self.trav_lanes = trav_lanes
         self.framebuffer: jax.Array | None = None
         self.last_segments: jax.Array | None = None  # traced rays last frame
         self._fb_shape: tuple | None = None
@@ -238,7 +230,6 @@ class Renderer:
             shade_every=self.shade_every, cohorts=self.cohorts,
             claim=self.claim, boundaries=self.boundaries,
             log_cap=self.log_cap, packet=self.packet,
-            trav_lanes=self.trav_lanes,
             normal_maps=bool(getattr(params, "normal_maps", False)),
             antialias=bool(getattr(params, "antialias", False)),
             nee=bool(getattr(params, "nee", False)),

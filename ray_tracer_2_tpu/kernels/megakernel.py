@@ -139,12 +139,6 @@ jax.tree_util.register_pytree_node(
 I_SEED, I_BOUNCE, I_SEGS, I_CUR, I_PTR, I_TRI, I_MAT, I_STRI, I_SMAT, \
     I_FLAG, I_SN, I_ST, I_PIXEL, I_SAMPLE, I_SP, I_NEE = range(16)
 
-# traversal_step's complete I-state contact surface (reads I_CUR/I_PTR/
-# I_TRI/I_MAT/I_SP/I_SN/I_ST, writes all but I_PTR) — the columns the
-# compacted traversal window (``trav_lanes``) gathers and scatters
-_TRAV_I = (I_CUR, I_PTR, I_TRI, I_MAT, I_SP, I_SN, I_ST)
-
-
 def _bvh_instances(scene: RenderScene):
     return [i for i, (_, _, c) in enumerate(scene.inst_spans)
             if c > BRUTE_MAX_TRIS]
@@ -1439,7 +1433,6 @@ def render_persistent(scene: RenderScene, frames, *, width: int, height: int,
                       claim_shuffle: bool = True,
                       antialias: bool = False, nee: bool = False,
                       packet: int | None = None,
-                      trav_lanes: int | None = None,
                       return_iters: bool = False):
     """Persistent-lanes whole-image render. Returns ((rows, width, 4) image,
     total traced segments). Pixel p maps to (x = p %% width,
@@ -1469,13 +1462,7 @@ def render_persistent(scene: RenderScene, frames, *, width: int, height: int,
     5-deep dependent-gather chain that stalls the single-batch schedule
     (profiled ~2x below the op-sum, docs/PERF_NOTES.md). Pixel values are
     unchanged (the work queue hands out the same pixel ids; seeds derive
-    from pixel ids). Queue claim + ungated boundary only.
-
-    ``trav_lanes`` (C) runs each unrolled traversal window on a compacted
-    C-row sub-batch of the lanes actually traversing (``cur >= 0``)
-    instead of all ``lanes`` — a pure scheduling change (bit-identical
-    images) that pays the per-row gather/VPU charge only for open
-    traversals. See the inline comment at the window in ``body``."""
+    from pixel ids). Queue claim + ungated boundary only."""
     # measured-on-chip defaults (ray_tracer_2_tpu/tuning.py): explicit kwarg
     # > tuned.json for the active backend > built-in fallback. Resolution is
     # per-process-stable, so the jit cache (keyed on the static values the
@@ -1483,7 +1470,6 @@ def render_persistent(scene: RenderScene, frames, *, width: int, height: int,
     lanes = tuning.resolve("lanes", lanes, 16384)
     unroll = tuning.resolve("unroll", unroll, 5)
     packet = tuning.resolve("packet", packet, 1)
-    trav_lanes = tuning.resolve("trav_lanes", trav_lanes, 0)
     rows = height if rows is None else rows
     total = rows * width
     rpp = max(rays_per_pixel, 1)
@@ -1507,27 +1493,11 @@ def render_persistent(scene: RenderScene, frames, *, width: int, height: int,
         assert claim == "queue" and shade_every == 0 and cohorts == 1, \
             "packet>1 supports the default queue claim + ungated boundary"
         claim_shuffle = False
-    # ---- compacted traversal window (``trav_lanes`` = C < lanes) ----
-    # On open scenes most segments never enter the BVH (dragon: ~87%
-    # fast-forward past traversal via the prepass/root test), so only a
-    # small, varying subset of lanes is traversing in any iteration — yet
-    # every traversal step pays its row gather, f16 unpack, and slab/leaf
-    # arithmetic at full B (gather cost is per-ROW issue, ∝ batch). With
-    # C set, each iteration stable-sorts the ``cur >= 0`` lanes to the
-    # front (rotating the tie order so overflow lanes can't starve),
-    # gathers their traversal state as ONE packed row per lane, runs the
-    # unchanged step functions at C, and row-scatters the state back.
-    # Per-lane arithmetic is untouched, indices are a permutation prefix
-    # (no scatter conflicts), and non-traversing gathered lanes round-trip
-    # bit-exactly through the masked step — images are BIT-IDENTICAL to
-    # the full-width window (tests/test_trav_compact.py).
-    trav_C = int(trav_lanes or 0)
-    if not (0 < trav_C < lanes):
-        trav_C = 0
-    if trav_C:
-        assert cohorts == 1 and packet == 1, \
-            "trav_lanes composes with the default single-batch ray layout"
-        assert trav_C % 128 == 0, trav_C
+    # (the compacted-traversal-window knob — ``trav_lanes`` — was measured
+    # on chip and DELETED: the per-iteration argsort + state gather/scatter
+    # round-trip cost far more than the narrowed window saved on every
+    # bench scene: dragon 17.8 best vs 23.1 baseline, sponza 6.6 vs 16.6,
+    # room2 14.8 vs 15.1 — docs/PERF_NOTES.md round-4)
     parts = _make_parts(scene, B, bounces, skybox, normal_maps, nee=nee,
                         packet=packet)
     BP = B // packet
@@ -1806,60 +1776,12 @@ def render_persistent(scene: RenderScene, frames, *, width: int, height: int,
             # savings it recovers. Cohorts interleave per STEP (A1 B1 A2
             # B2 ...) so each cohort's next gather overlaps the others'
             # arithmetic.
-            if trav_C:
-                D = parts["stack_depth"]
-                i2f = lambda a: jax.lax.bitcast_convert_type(a, jnp.float32)
-                f2i = lambda a: jax.lax.bitcast_convert_type(a, jnp.int32)
-                F, M, W, I, S, A = cohs[0]
-                SB, SM, SD = S
-                lane_ids = jnp.arange(B, dtype=jnp.int32)
-                traversing = I[:, I_CUR] >= 0
-                # rotate the within-group order each iteration so lanes
-                # past C (when > C are traversing) are served next time
-                shift = (it * jnp.int32(40503)) % jnp.int32(B)
-                rot = (lane_ids - shift) % jnp.int32(B)
-                key = jnp.where(traversing, rot, rot + jnp.int32(B))
-                idx = jnp.argsort(key)[:trav_C]
-                # ONE packed row per lane: M(10 f32) + 7 i32 control
-                # columns + the 3 (B, D) resume-stack planes — a single
-                # ≤512-byte-row gather instead of 13 scalar gathers
-                # (1-D takes cost ~4.5x a row gather of the same batch)
-                icols = jnp.stack([I[:, c] for c in _TRAV_I], axis=1)
-                pack = jnp.concatenate(
-                    [M, i2f(icols), i2f(SB), i2f(SM), i2f(SD)], axis=1)
-                g = jnp.take(pack, idx, axis=0)
-                Mg = g[:, :10]
-                Icg = f2i(g[:, 10:17])
-                vals = [jnp.zeros((trav_C,), jnp.int32)] * 16
-                for j, c in enumerate(_TRAV_I):
-                    vals[c] = Icg[:, j]
-                Ig = ColState(vals)
-                o = 17
-                Sg = (f2i(g[:, o:o + D]), f2i(g[:, o + D:o + 2 * D]),
-                      f2i(g[:, o + 2 * D:o + 3 * D]))
-                Fg = Wg = jnp.zeros((trav_C, 1), jnp.float32)  # untouched
-                for _ in range(unroll):
-                    Fg, Mg, Wg, Ig, Sg = parts["traversal_step"](
-                        Fg, Mg, Wg, Ig, Sg)
-                icols_n = jnp.stack([Ig[:, c] for c in _TRAV_I], axis=1)
-                gn = jnp.concatenate(
-                    [Mg, i2f(icols_n), i2f(Sg[0]), i2f(Sg[1]), i2f(Sg[2])],
-                    axis=1)
-                pack = pack.at[idx].set(gn, unique_indices=True)
-                M = pack[:, :10]
-                icols2 = f2i(pack[:, 10:17])
-                for j, c in enumerate(_TRAV_I):
-                    I = I.at[:, c].set(icols2[:, j])
-                S = (f2i(pack[:, o:o + D]), f2i(pack[:, o + D:o + 2 * D]),
-                     f2i(pack[:, o + 2 * D:o + 3 * D]))
-                cohs[0] = (F, M, W, I, S, A)
-            else:
-                for _ in range(unroll):
-                    for c in range(cohorts):
-                        F, M, W, I, S, A = cohs[c]
-                        F, M, W, I, S = parts["traversal_step"](
-                            F, M, W, I, S)
-                        cohs[c] = (F, M, W, I, S, A)
+            for _ in range(unroll):
+                for c in range(cohorts):
+                    F, M, W, I, S, A = cohs[c]
+                    F, M, W, I, S = parts["traversal_step"](
+                        F, M, W, I, S)
+                    cohs[c] = (F, M, W, I, S, A)
             for c in range(cohorts):
                 F, M, W, I, S, A = cohs[c]
                 F, M, W, I, S = parts["advance_instance"](F, M, W, I, S)

@@ -41,10 +41,13 @@ _SCHEMA = {
     "boundaries": (int, 1, 8),
     "log_cap": (int, 128, 262144),
     "packet": (int, 1, 16),
-    # compacted traversal window (megakernel trav_lanes): 0 disables; must
-    # be a 128-multiple below the lane count (asserted at trace time)
-    "trav_lanes": (int, 0, 262144),
 }
+
+# knob -> extra predicate beyond the (type, lo, hi) rails. Keeps a malformed
+# tuned.json warn-and-ignore (never fatal): values that pass the range check
+# but would trip a trace-time layout assert inside a kernel are rejected
+# here instead (e.g. the deleted trav_lanes knob required 128-multiples).
+_EXTRA_CHECKS: dict = {}
 
 
 def _validated(raw: dict) -> dict:
@@ -59,6 +62,11 @@ def _validated(raw: dict) -> dict:
                 or not (lo <= val <= hi):
             log.warning("tuned.json: knob %r=%r out of range [%s, %s]; "
                         "ignored", key, val, lo, hi)
+            continue
+        extra = _EXTRA_CHECKS.get(key)
+        if extra is not None and not extra[0](val):
+            log.warning("tuned.json: knob %r=%r invalid (%s); ignored",
+                        key, val, extra[1])
             continue
         out[key] = val
     return out

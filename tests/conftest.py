@@ -17,6 +17,37 @@ jax.config.update("jax_platforms", "cpu")
 
 import pytest  # noqa: E402
 
+# ---------------------------------------------------------------- slow tier
+# Fast per-commit gate: `python -m pytest tests/ -m "not slow" -q` (< 90 s on
+# the CPU mesh). Tests measured >= 3.5 s live in slow_tests.txt (one id per
+# line); the full suite stays the pre-push gate. Regenerate the list with
+# --durations=0 after big suite changes.
+_SLOW_PATH = os.path.join(os.path.dirname(__file__), "slow_tests.txt")
+
+
+def _slow_ids():
+    try:
+        with open(_SLOW_PATH) as f:
+            return {ln.strip() for ln in f
+                    if ln.strip() and not ln.startswith("#")}
+    except OSError:
+        return set()
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: heavy test (>= 3.5 s); excluded by -m 'not slow'")
+
+
+def pytest_collection_modifyitems(config, items):
+    slow = _slow_ids()
+    if not slow:
+        return
+    for item in items:
+        # item.nodeid is repo-relative like "tests/test_x.py::test_y[p]"
+        if item.nodeid in slow:
+            item.add_marker(pytest.mark.slow)
+
 
 @pytest.fixture(scope="session")
 def assets():
