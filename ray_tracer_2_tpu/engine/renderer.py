@@ -164,7 +164,8 @@ class Renderer:
                  lanes: int | None = None, unroll: int | None = None,
                  shade_every: int | None = None, cohorts: int | None = None,
                  claim: str | None = None, boundaries: int | None = None,
-                 log_cap: int | None = None, packet: int | None = None):
+                 log_cap: int | None = None, packet: int | None = None,
+                 mesh="auto"):
         self.tile_rows = tile_rows
         self.tile_cols = tile_cols
         self.lanes = lanes
@@ -175,14 +176,32 @@ class Renderer:
         self.boundaries = boundaries
         self.log_cap = log_cap
         self.packet = packet
+        # ``mesh``: "auto" (default) adopts a 1-D rows mesh over every
+        # visible device (SURVEY.md §2.3: the framebuffer tiled across
+        # chips IN the real render loop, not a bench side path); a
+        # jax.sharding.Mesh pins one explicitly; None forces single-device.
+        self._mesh_arg = mesh
+        self.mesh = None if mesh in ("auto", None) else mesh
         self.framebuffer: jax.Array | None = None
         self.last_segments: jax.Array | None = None  # traced rays last frame
         self._fb_shape: tuple | None = None
         self._psph_cache: dict = {}
 
+    def _resolve_mesh(self, height: int):
+        if self._mesh_arg == "auto":
+            from ray_tracer_2_tpu.parallel.sharding import auto_mesh
+            return auto_mesh(height)
+        return self.mesh
+
     def ensure_framebuffer(self, width: int, height: int) -> None:
         if self._fb_shape != (height, width):
-            self.framebuffer = jnp.zeros((height, width, 4), jnp.float32)
+            self.mesh = self._resolve_mesh(height)
+            fb = jnp.zeros((height, width, 4), jnp.float32)
+            if self.mesh is not None:
+                from ray_tracer_2_tpu.parallel.sharding import \
+                    shard_framebuffer
+                fb = shard_framebuffer(fb, self.mesh)
+            self.framebuffer = fb
             self._fb_shape = (height, width)
 
     def _use_pallas_spheres(self, scene: RenderScene,
@@ -235,12 +254,29 @@ class Renderer:
             nee=bool(getattr(params, "nee", False)),
             pallas_spheres=self._use_pallas_spheres(scene, params),
         )
+        if self.mesh is not None:
+            # the Mosaic sphere kernel needs a STATIC row_start
+            # (pallas_spheres.py static_argnames); under the rows mesh the
+            # per-chip row offset is traced (axis_index), so sphere scenes
+            # run the XLA megakernel per chip instead
+            kwargs["pallas_spheres"] = False
         return args, kwargs
 
     def render(self, scene: RenderScene, params: RenderParams) -> jax.Array:
-        """Render one frame into the accumulation buffer; returns it."""
+        """Render one frame into the accumulation buffer; returns it.
+
+        With more than one visible device the frame runs row-sharded over
+        ``self.mesh`` (zero collectives in the hot loop; one psum for the
+        segment count) — the multi-chip twin compiles from the same kernels
+        with the same tuned knobs (parallel/sharding.py)."""
         args, kwargs = self.frame_call(scene, params)
-        self.framebuffer, self.last_segments = render_frame(*args, **kwargs)
+        if self.mesh is not None:
+            from ray_tracer_2_tpu.parallel.sharding import render_frame_mesh
+            self.framebuffer, self.last_segments = render_frame_mesh(
+                *args, mesh=self.mesh, **kwargs)
+        else:
+            self.framebuffer, self.last_segments = render_frame(
+                *args, **kwargs)
         return self.framebuffer
 
     def read_framebuffer(self) -> np.ndarray:
