@@ -110,6 +110,46 @@ def pack_texels_u8_pairs(texels: np.ndarray, offsets: np.ndarray,
     return rows.view(np.float32)
 
 
+def pack_texels_u8_quads(texels: np.ndarray, offsets: np.ndarray,
+                         heights: np.ndarray, widths: np.ndarray) -> np.ndarray:
+    """(X, 4) f32 texels -> (ceil(X/32), 128) f32 rows of bilinear QUADS:
+    texel t = (x, y) of its slot lives at row t >> 5, column block t & 31:
+
+      col       t & 31   word (x, y)
+      col  32 + t & 31   word ((x+1) %% w, y)       x-neighbor, wrap baked
+      col  64 + t & 31   word (x, (y+1) %% h)       y-neighbor
+      col  96 + t & 31   word ((x+1) %% w, (y+1) %% h)
+
+    One row gather yields ALL FOUR bilinear corners — the tap count drops
+    from the pair layout's 2 to 1 (row-gather issue cost is the dominant
+    textured-boundary term: 2 x ~25 us/iteration on sponza,
+    docs/PERF_NOTES.md round-4). Storage doubles again vs pairs (4 words
+    per texel); both layouts sit past the gather-rate cliff, so bytes are
+    free and rows are the currency. Values are the identical u8 words and
+    the sampler uses the identical blend expressions, so sampling stays
+    bit-equal to the flat and paired layouts."""
+    x = texels.shape[0]
+    u8 = _quantize_u8(texels)
+    words = (u8[:, 0] | (u8[:, 1] << 8) | (u8[:, 2] << 16)
+             | (u8[:, 3] << 24)).astype(np.uint32)
+    x1 = words.copy()
+    y1 = words.copy()
+    xy = words.copy()
+    for off, h, w in zip(offsets, heights, widths):
+        off, h, w = int(off), int(h), int(w)
+        if off >= x:
+            continue
+        blk = words[off:off + h * w].reshape(h, w)
+        x1[off:off + h * w] = np.roll(blk, -1, axis=1).reshape(-1)
+        y1[off:off + h * w] = np.roll(blk, -1, axis=0).reshape(-1)
+        xy[off:off + h * w] = np.roll(blk, (-1, -1), axis=(0, 1)).reshape(-1)
+    xp = -(-max(x, 1) // 32) * 32
+    pad = np.zeros(xp - x, np.uint32)
+    planes = [np.concatenate([p, pad]).reshape(-1, 32)
+              for p in (words, x1, y1, xy)]
+    return np.concatenate(planes, axis=1).view(np.float32)
+
+
 def pack_texels_u8(texels: np.ndarray) -> np.ndarray:
     """(X, 4) f32 texels -> (ceil(X/128), 128) f32 rows of u8 RGBA words.
 

@@ -68,7 +68,13 @@ def restore_engine(engine, path) -> None:
     engine.params = ckpt["params"]
     engine.renderer.ensure_framebuffer(ckpt["params"].width,
                                        ckpt["params"].height)
-    engine.renderer.framebuffer = jnp.asarray(ckpt["framebuffer"])
+    fb = jnp.asarray(ckpt["framebuffer"])
+    if engine.renderer.mesh is not None:
+        # keep the restored buffer row-sharded so the donated multi-chip
+        # render step resumes without a per-frame resharding transfer
+        from ray_tracer_2_tpu.parallel.sharding import shard_framebuffer
+        fb = shard_framebuffer(fb, engine.renderer.mesh)
+    engine.renderer.framebuffer = fb
     pose = ckpt["camera_pose"]
     scene = engine.scene_manager.scene
     if pose is not None and scene is not None:

@@ -48,7 +48,7 @@ from ray_tracer_2_tpu.kernels.gatherlib import fetch_attr, fetch_rows
 from ray_tracer_2_tpu.kernels.intersect import INF, ray_sphere, \
     ray_sphere_fast, ray_triangle, sphere_normal_uv, \
     sphere_fast_min as _sphere_fast_min
-from ray_tracer_2_tpu.kernels.texture import sample_bilinear
+from ray_tracer_2_tpu.kernels.texture import sample_texture
 from ray_tracer_2_tpu.math.vec import dot, lerp, normalize, reflect, refract
 from ray_tracer_2_tpu.scene.render_scene import LEAF_CHUNK, RenderScene
 
@@ -811,8 +811,7 @@ def _make_parts(scene: RenderScene, B: int, bounces: int, skybox: bool,
             has_nm = shading & hit_mesh & (m["normal_index"] != -1)
             texel = jax.lax.cond(
                 jnp.any(has_nm),
-                lambda: sample_bilinear(scene.tex_texels, scene.tex_meta,
-                                        m["normal_index"], hit["uv"]),
+                lambda: sample_texture(scene, m["normal_index"], hit["uv"]),
                 lambda: jnp.zeros((B, 4)))
             nt = texel[:, :3] * 2.0 - 1.0
             t_model = attr[:, 15:18]
@@ -874,15 +873,13 @@ def _make_parts(scene: RenderScene, B: int, bounces: int, skybox: bool,
                 # gate would fire every boundary anyway, and the lax.cond
                 # is a scheduling barrier keeping the 4 bilinear taps off
                 # the overlapped gather schedule (4.86 -> 5.04 measured)
-                tex_color = sample_bilinear(scene.tex_texels, scene.tex_meta,
-                                            m["diffuse_index"], hit["uv"])
+                tex_color = sample_texture(scene, m["diffuse_index"], hit["uv"])
             else:
                 # textures are rare: skip the 4-tap gather entirely when
                 # no lane shades a textured surface this boundary
                 tex_color = jax.lax.cond(
                     jnp.any(textured & shading),
-                    lambda: sample_bilinear(scene.tex_texels, scene.tex_meta,
-                                            m["diffuse_index"], hit["uv"]),
+                    lambda: sample_texture(scene, m["diffuse_index"], hit["uv"]),
                     lambda: m["color"])
             color = jnp.where(textured[:, None], tex_color, m["color"])
         else:

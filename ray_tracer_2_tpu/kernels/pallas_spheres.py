@@ -77,8 +77,14 @@ def _n_frows(T: int) -> int:
 #: small-MESH scenes also fit whole-path: triangles baked to world space
 #: stream on sublanes exactly like spheres. Above this the dense cross
 #: loses to the XLA brute/megakernel path (same shape of tradeoff as the
-#: 128-sphere gate — measured on random_balls).
+#: 128-sphere gate — measured on random_balls). RT2_PALLAS_TRI_CAP
+#: overrides for cap A/Bs (scripts/probe_pallas_caps.py).
 MAX_TRIS = 256
+
+
+def _tri_cap() -> int:
+    import os
+    return int(os.environ.get("RT2_PALLAS_TRI_CAP", MAX_TRIS))
 
 
 def _tri_count(scene: RenderScene) -> int:
@@ -91,7 +97,7 @@ def eligible(scene: RenderScene) -> bool:
     texture sampling. Mesh triangles are pre-baked to world space so the
     kernel needs no per-ray instance transforms."""
     T = _tri_count(scene)
-    if T > MAX_TRIS:
+    if T > _tri_cap():
         return False
     if T == 0 and scene.n_spheres == 0:
         return False

@@ -20,11 +20,19 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+def _texel_rows(texels, row_idx):
+    """Texel-row fetch: ALWAYS a gather, never the one-hot MXU fast path.
+    Texel rows are bitcast u8-packed u32 payloads whose f32 views can be
+    signaling NaNs (any opaque texel with blue >= 128); the one-hot matmul
+    QUIETIZES them (x*1.0 flips the mantissa MSB), silently corrupting the
+    blue channel's bit 6 for small (<= 2048-row) atlases. A take moves raw
+    bits. Regression: tests/test_assets.py texel-payload tests."""
+    return jnp.take(texels, row_idx, axis=0)
+
+
 def _tap(texels, flat_idx):
     """Fetch texel ``flat_idx`` (B,) from the packed atlas -> (B, 4) f32."""
-    from ray_tracer_2_tpu.kernels.gatherlib import fetch_rows
-
-    row = fetch_rows(texels, jax.lax.shift_right_logical(flat_idx, 7))
+    row = _texel_rows(texels, jax.lax.shift_right_logical(flat_idx, 7))
     u = jax.lax.bitcast_convert_type(row, jnp.uint32)
     lane = jnp.arange(128, dtype=jnp.int32)[None, :]
     oh = (lane == (flat_idx & 127)[:, None]).astype(jnp.float32)
@@ -50,9 +58,7 @@ def _unpack_rgba(w):
 def _tap_pair(texels, flat_idx):
     """Fetch texel ``flat_idx`` AND its wrapped y-neighbor from the PAIRED
     atlas (pack_texels_u8_pairs) with ONE row gather -> two (B, 4) f32."""
-    from ray_tracer_2_tpu.kernels.gatherlib import fetch_rows
-
-    row = fetch_rows(texels, jax.lax.shift_right_logical(flat_idx, 6))
+    row = _texel_rows(texels, jax.lax.shift_right_logical(flat_idx, 6))
     u = jax.lax.bitcast_convert_type(row, jnp.uint32)
     lane = jnp.arange(64, dtype=jnp.int32)[None, :]
     oh = (lane == (flat_idx & 63)[:, None]).astype(jnp.float32)
@@ -64,6 +70,64 @@ def _tap_pair(texels, flat_idx):
     w0 = lo0.astype(jnp.uint32) | (hi0.astype(jnp.uint32) << 16)
     w1 = lo1.astype(jnp.uint32) | (hi1.astype(jnp.uint32) << 16)
     return _unpack_rgba(w0), _unpack_rgba(w1)
+
+
+def _tap_quad(texels, flat_idx):
+    """Fetch texel ``flat_idx`` plus its wrapped x/y/xy neighbors from the
+    QUAD atlas (pack_texels_u8_quads) with ONE row gather ->
+    (c00, c01, c10, c11), each (B, 4) f32."""
+    row = _texel_rows(texels, jax.lax.shift_right_logical(flat_idx, 5))
+    u = jax.lax.bitcast_convert_type(row, jnp.uint32)
+    lane = jnp.arange(32, dtype=jnp.int32)[None, :]
+    oh = (lane == (flat_idx & 31)[:, None]).astype(jnp.float32)
+    out = []
+    for b in range(4):
+        blk = u[:, 32 * b:32 * (b + 1)]
+        # 16-bit halves are exact in f32; the one-hot sum is an exact select
+        lo = jnp.sum((blk & 0xFFFF).astype(jnp.float32) * oh, axis=1)
+        hi = jnp.sum((blk >> 16).astype(jnp.float32) * oh, axis=1)
+        out.append(_unpack_rgba(
+            lo.astype(jnp.uint32) | (hi.astype(jnp.uint32) << 16)))
+    c00, c01, c10, c11 = out
+    return c00, c01, c10, c11
+
+
+def sample_bilinear_quads(texels, tex_meta, slot, uv):
+    """Bilinear sample with repeat wrap — ONE row gather (quad atlas).
+
+    Same metadata/addressing/blend expressions as ``sample_bilinear``; the
+    wrapped x/y neighbors are baked into the quad row at pack time, so no
+    second texel index is computed. Bit-equal to the pair layout (same u8
+    words, same f32 blend order)."""
+    from ray_tracer_2_tpu.kernels.gatherlib import fetch_rows
+
+    slot = jnp.maximum(slot, 0)
+    meta = fetch_rows(tex_meta, slot)
+    off = meta[:, 0].astype(jnp.int32)
+    h = meta[:, 1].astype(jnp.int32)
+    w = meta[:, 2].astype(jnp.int32)
+    hf = meta[:, 1]
+    wf = meta[:, 2]
+
+    u = uv[..., 0] - jnp.floor(uv[..., 0])
+    v = uv[..., 1] - jnp.floor(uv[..., 1])
+    xf = u * wf - 0.5
+    yf = v * hf - 0.5
+    x0 = jnp.floor(xf)
+    y0 = jnp.floor(yf)
+    tx = (xf - x0)[..., None]
+    ty = (yf - y0)[..., None]
+
+    def wrap(i, n):
+        return jnp.mod(i.astype(jnp.int32), n)
+
+    x0w = wrap(x0, w)
+    y0w = wrap(y0, h)
+
+    c00, c01, c10, c11 = _tap_quad(texels, off + y0w * w + x0w)
+    top = c00 * (1.0 - tx) + c01 * tx
+    bot = c10 * (1.0 - tx) + c11 * tx
+    return top * (1.0 - ty) + bot * ty
 
 
 def sample_bilinear(texels, tex_meta, slot, uv):
@@ -106,3 +170,10 @@ def sample_bilinear(texels, tex_meta, slot, uv):
     top = c00 * (1.0 - tx) + c01 * tx
     bot = c10 * (1.0 - tx) + c11 * tx
     return top * (1.0 - ty) + bot * ty
+
+
+def sample_texture(scene, slot, uv):
+    """Layout-dispatching bilinear sample: scene.tex_quads is a STATIC
+    pytree field, so the branch resolves at trace time."""
+    fn = sample_bilinear_quads if scene.tex_quads else sample_bilinear
+    return fn(scene.tex_texels, scene.tex_meta, slot, uv)

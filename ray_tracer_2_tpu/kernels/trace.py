@@ -25,7 +25,7 @@ from ray_tracer_2_tpu.kernels.gatherlib import fetch_attr, fetch_rows
 from ray_tracer_2_tpu.kernels.intersect import (
     INF, ray_sphere, sphere_normal_uv,
 )
-from ray_tracer_2_tpu.kernels.texture import sample_bilinear
+from ray_tracer_2_tpu.kernels.texture import sample_texture
 from ray_tracer_2_tpu.kernels.traverse import traverse_bvh
 from ray_tracer_2_tpu.math.vec import dot, lerp, normalize, reflect, refract, smoothstep
 from ray_tracer_2_tpu.scene.render_scene import RenderScene
@@ -266,8 +266,7 @@ def trace_batch(scene: RenderScene, origin, direction, seed, *,
                                (m["smoothness"] * is_specular)[:, None]))
         incoming_n = incoming + emitted * trans
         textured = (m["flag"] == TEXTURE) & (m["diffuse_index"] != -1)
-        tex_color = sample_bilinear(scene.tex_texels, scene.tex_meta,
-                                    m["diffuse_index"], hit["uv"])
+        tex_color = sample_texture(scene, m["diffuse_index"], hit["uv"])
         color = jnp.where(textured[:, None], tex_color, m["color"])
         trans_n = trans * jnp.where(is_specular[:, None], m["specular_color"], color)
 
@@ -405,8 +404,7 @@ def debug_trace_pixels(scene: RenderScene, x, y, *, width: int, height: int,
         # ray_tracer.wgsl:542-548 — note 0.5*(2x-1)+0.5 ≡ x)
         m = _gather_material(scene, hit["mat_id"])
         mapped = (m["flag"] == TEXTURE) & (m["normal_index"] != -1)
-        tex = sample_bilinear(scene.tex_texels, scene.tex_meta,
-                              m["normal_index"], hit["uv"])
+        tex = sample_texture(scene, m["normal_index"], hit["uv"])
         n = jnp.where(mapped[:, None], tex[:, :3], hit["normal"] * 0.5 + 0.5)
         out = jnp.concatenate([n, ones[:, None]], axis=1)
         return jnp.where(hit_mask, out, zeros4)

@@ -27,7 +27,7 @@ import numpy as np
 
 from ray_tracer_2_tpu.accel.bvh import BVH, BVHQuality, build_bvh
 from ray_tracer_2_tpu.assets.textures import TextureAtlas, \
-    pack_texels_u8_pairs
+    pack_texels_u8_pairs, pack_texels_u8_quads
 from ray_tracer_2_tpu.scene.camera import Camera
 from ray_tracer_2_tpu.scene.definition import (
     MeshData, MeshFromData, MeshFromFile, SceneDefinition, SphereDef,
@@ -59,6 +59,15 @@ def _sphere_bvh_engaged(n_spheres: int) -> bool:
     if mode == "1":
         return n_spheres > 8  # root must be an internal wide row
     return n_spheres >= SPHERE_BVH_MIN
+
+
+def _tex_quads() -> bool:
+    """Texel-atlas layout choice (RT2_TEX_LAYOUT=quads|pairs, default
+    quads): quad rows carry all four bilinear corners so a sample costs ONE
+    row gather; pairs carry (y, y+1) and cost two. Env-selectable for
+    on-chip A/Bs — read at scene-instantiation time only."""
+    import os
+    return os.environ.get("RT2_TEX_LAYOUT", "quads") != "pairs"
 
 
 def _shade_classes(records) -> tuple:
@@ -218,10 +227,12 @@ class RenderScene:
     materials: MaterialTable
 
     # Texture atlas (flat texel buffer + slot tables)
-    tex_texels: jax.Array        # (ceil(X/64), 128) f32 u8-RGBA PAIRED rows
-                                 # (assets/textures.py pack_texels_u8_pairs:
-                                 # col t&63 = texel t, col 64+(t&63) = its
-                                 # wrapped y+1 neighbor -> 2 gathers/bilinear)
+    tex_texels: jax.Array        # u8-RGBA atlas rows: QUAD layout
+                                 # (ceil(X/32), 128) by default — one row
+                                 # gather per bilinear sample
+                                 # (pack_texels_u8_quads) — or PAIRED
+                                 # (ceil(X/64), 128) rows (2 gathers) under
+                                 # RT2_TEX_LAYOUT=pairs; see tex_quads below
     tex_offset: jax.Array        # (64,) i32
     tex_h: jax.Array             # (64,) i32
     tex_w: jax.Array             # (64,) i32
@@ -273,6 +284,11 @@ class RenderScene:
     shade_classes: tuple = dataclasses.field(metadata=dict(static=True),
                                              default=("glass", "texture",
                                                       "normal_map"))
+    #: STATIC texel-table layout flag: True = quad rows (one gather per
+    #: bilinear sample, pack_texels_u8_quads), False = paired rows (two
+    #: gathers, pack_texels_u8_pairs). Kernel dispatch is compile-time.
+    tex_quads: bool = dataclasses.field(metadata=dict(static=True),
+                                        default=True)
 
     @property
     def n_spheres(self) -> int:
@@ -773,8 +789,10 @@ def instantiate_scene(definition: SceneDefinition,
         mat_rows=jnp.asarray(mat_rows),
         tex_meta=jnp.asarray(tex_meta),
         materials=table,
-        tex_texels=jnp.asarray(pack_texels_u8_pairs(
+        tex_texels=jnp.asarray((
+            pack_texels_u8_quads if _tex_quads() else pack_texels_u8_pairs)(
             atlas.texels, atlas.offsets, atlas.heights, atlas.widths)),
+        tex_quads=_tex_quads(),
         tex_offset=jnp.asarray(atlas.offsets),
         tex_h=jnp.asarray(atlas.heights),
         tex_w=jnp.asarray(atlas.widths),

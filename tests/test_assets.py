@@ -178,3 +178,67 @@ def test_loader_thread_survives_failed_scene():
         assert scene is not None and mgr.scene is scene
     finally:
         mgr.shutdown()
+
+
+def test_texel_quad_layout_matches_pairs():
+    """The quad atlas (one gather per bilinear) must sample bit-equal to
+    the paired atlas on random uvs across several texture shapes,
+    including wrap rows/cols."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from ray_tracer_2_tpu.assets.textures import (
+        pack_texels_u8_pairs, pack_texels_u8_quads)
+    from ray_tracer_2_tpu.kernels.texture import (
+        sample_bilinear, sample_bilinear_quads)
+
+    rng = np.random.default_rng(11)
+    shapes = [(8, 8), (5, 7), (16, 3)]
+    texels, offs, hs, ws = [], [], [], []
+    off = 0
+    for h, w in shapes:
+        texels.append(rng.random((h * w, 4), np.float32))
+        offs.append(off)
+        hs.append(h)
+        ws.append(w)
+        off += h * w
+    texels = np.concatenate(texels)
+    offs, hs, ws = (np.asarray(a, np.int32) for a in (offs, hs, ws))
+    pairs = jnp.asarray(pack_texels_u8_pairs(texels, offs, hs, ws))
+    quads = jnp.asarray(pack_texels_u8_quads(texels, offs, hs, ws))
+    meta = jnp.asarray(
+        np.stack([offs, hs, ws, np.zeros_like(offs)], 1).astype(np.float32))
+
+    B = 256
+    slot = jnp.asarray(rng.integers(0, len(shapes), B).astype(np.int32))
+    uv = jnp.asarray(rng.uniform(-1.5, 2.5, (B, 2)).astype(np.float32))
+    a = np.asarray(sample_bilinear(pairs, meta, slot, uv))
+    b = np.asarray(sample_bilinear_quads(quads, meta, slot, uv))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_texel_taps_preserve_nan_payload_bits():
+    """Texel words are bitcast u8 payloads; opaque texels with blue >= 128
+    view as signaling NaNs in f32. The tap fetch must move RAW BITS — the
+    one-hot MXU path quietizes NaNs (corrupting blue bit 6), which is why
+    texel fetches never take gatherlib's small-table fast path."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from ray_tracer_2_tpu.assets.textures import (
+        pack_texels_u8_pairs, pack_texels_u8_quads)
+    from ray_tracer_2_tpu.kernels.texture import _tap_pair, _tap_quad
+
+    # one tiny texture, every texel opaque with blue=128 (snan pattern)
+    h = w = 8
+    texels = np.tile(np.array([[10 / 255, 20 / 255, 128 / 255, 1.0]],
+                              np.float32), (h * w, 1))
+    offs = np.array([0], np.int32)
+    hs = np.array([h], np.int32)
+    ws = np.array([w], np.int32)
+    pairs = jnp.asarray(pack_texels_u8_pairs(texels, offs, hs, ws))
+    quads = jnp.asarray(pack_texels_u8_quads(texels, offs, hs, ws))
+    idx = jnp.arange(h * w, dtype=jnp.int32)
+    expect = np.tile(texels[:1], (h * w, 1))
+    for got in (*_tap_pair(pairs, idx), *_tap_quad(quads, idx)):
+        np.testing.assert_allclose(np.asarray(got), expect, atol=0.5 / 255)
