@@ -1464,9 +1464,10 @@ def render_persistent(scene: RenderScene, frames, *, width: int, height: int,
     # > tuned.json for the active backend > built-in fallback. Resolution is
     # per-process-stable, so the jit cache (keyed on the static values the
     # callers pass through) never sees a knob change under a live trace.
-    lanes = tuning.resolve("lanes", lanes, 16384)
-    unroll = tuning.resolve("unroll", unroll, 5)
-    packet = tuning.resolve("packet", packet, 1)
+    profile = "textured" if "texture" in scene.shade_classes else None
+    lanes = tuning.resolve("lanes", lanes, 16384, profile=profile)
+    unroll = tuning.resolve("unroll", unroll, 5, profile=profile)
+    packet = tuning.resolve("packet", packet, 1, profile=profile)
     rows = height if rows is None else rows
     total = rows * width
     rpp = max(rays_per_pixel, 1)

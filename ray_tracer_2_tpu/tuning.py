@@ -98,8 +98,21 @@ def tuned_defaults(backend: str | None = None) -> dict:
     return _validated(per_backend)
 
 
-def resolve(name: str, explicit, fallback):
-    """Explicit kwarg > tuned.json (active backend) > built-in fallback."""
+def resolve(name: str, explicit, fallback, profile: str | None = None):
+    """Explicit kwarg > tuned.json scene-class profile > tuned.json backend
+    defaults > built-in fallback.
+
+    ``profile`` is a STATIC scene-class key (e.g. "textured"): some optima
+    shift with scene structure, not hardware — a big texel atlas evicts the
+    traversal tables from VMEM residency, moving the best lane count
+    (sponza: 24576 beats the global 16384 by ~5%, round-4 sweep). Profiles
+    live under "<backend>:<profile>" in tuned.json and override the plain
+    backend entry knob-by-knob."""
     if explicit is not None:
         return explicit
+    if profile is not None:
+        import jax
+        prof = tuned_defaults(f"{jax.default_backend()}:{profile}")
+        if name in prof:
+            return prof[name]
     return tuned_defaults().get(name, fallback)

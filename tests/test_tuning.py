@@ -144,3 +144,26 @@ def test_apply_writes_only_on_margin(tuned_file, tmp_path, monkeypatch,
         assert got == {"lanes": 32768, "unroll": 5}  # merge keeps unroll
     else:
         assert got == {"lanes": 16384, "unroll": 5}
+
+
+def test_scene_class_profile_overrides(tmp_path, monkeypatch):
+    """"<backend>:<profile>" entries override the plain backend defaults
+    knob-by-knob; unrelated knobs fall through."""
+    import json
+
+    from ray_tracer_2_tpu import tuning
+
+    p = tmp_path / "tuned.json"
+    p.write_text(json.dumps({
+        "cpu": {"lanes": 2048, "unroll": 4},
+        "cpu:textured": {"lanes": 4096},
+    }))
+    monkeypatch.setattr(tuning, "TUNED_PATH", p)
+    tuning.tuned_defaults.cache_clear()
+    try:
+        assert tuning.resolve("lanes", None, 1, profile="textured") == 4096
+        assert tuning.resolve("unroll", None, 1, profile="textured") == 4
+        assert tuning.resolve("lanes", None, 1) == 2048
+        assert tuning.resolve("lanes", 512, 1, profile="textured") == 512
+    finally:
+        tuning.tuned_defaults.cache_clear()
