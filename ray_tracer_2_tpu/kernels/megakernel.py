@@ -1464,7 +1464,12 @@ def render_persistent(scene: RenderScene, frames, *, width: int, height: int,
     # > tuned.json for the active backend > built-in fallback. Resolution is
     # per-process-stable, so the jit cache (keyed on the static values the
     # callers pass through) never sees a knob change under a live trace.
-    profile = "textured" if "texture" in scene.shade_classes else None
+    # Scene-class tuning profile: the lane-count optimum shifts when the
+    # texel atlas is big enough to evict the hot tables from VMEM residency
+    # and push the gathers HBM-side (sponza: lanes=24576 beats 16384 by
+    # ~3% under the quad atlas; texture_test with its 8 MB atlas LOSES 25%
+    # at 24576 — so the key is atlas SIZE, not texturedness; round-4 sweep)
+    profile = "bigtex" if scene.tex_texels.shape[0] >= 65536 else None
     lanes = tuning.resolve("lanes", lanes, 16384, profile=profile)
     unroll = tuning.resolve("unroll", unroll, 5, profile=profile)
     packet = tuning.resolve("packet", packet, 1, profile=profile)
