@@ -169,6 +169,9 @@ def main():
         # First remote compile takes minutes when healthy; bound it so a
         # relay that dies mid-compile still yields an error line.
         guard = _hang_guard(2400, "first compile/warmup", metric)
+        renderer.ensure_framebuffer(args.width, args.height)
+        if renderer.mesh is not None:   # auto-adopted rows mesh (>1 device)
+            n_chips = renderer.mesh.size
         for f in range(args.warmup):
             fb = renderer.render(host.render_scene,
                                  dataclasses.replace(p, frames=f))

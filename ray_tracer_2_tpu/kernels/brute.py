@@ -18,8 +18,17 @@ import jax.numpy as jnp
 from ray_tracer_2_tpu.kernels.intersect import INF, ray_triangle
 from ray_tracer_2_tpu.scene.render_scene import RenderScene
 
-#: instance groups at or below this triangle count stream instead of traverse
+#: instance groups at or below this triangle count stream (dense cross)
+#: instead of traversing their wide BVH.
 BRUTE_MAX_TRIS = 1024
+
+
+def brute_max() -> int:
+    """The brute-vs-BVH instance threshold; RT2_BRUTE_MAX_TRIS overrides
+    for on-chip crossover A/Bs (callers must clear jit caches after a flip
+    — the threshold shapes the traced program but is not a jit key)."""
+    import os
+    return int(os.environ.get("RT2_BRUTE_MAX_TRIS", BRUTE_MAX_TRIS))
 
 
 def brute_force_intersect(scene: RenderScene, origin, direction,

@@ -43,7 +43,7 @@ import jax
 import jax.numpy as jnp
 
 from ray_tracer_2_tpu import rng, tuning
-from ray_tracer_2_tpu.kernels.brute import BRUTE_MAX_TRIS, brute_force_intersect
+from ray_tracer_2_tpu.kernels.brute import brute_force_intersect, brute_max
 from ray_tracer_2_tpu.kernels.gatherlib import fetch_attr, fetch_rows
 from ray_tracer_2_tpu.kernels.intersect import INF, ray_sphere, \
     ray_sphere_fast, ray_triangle, sphere_normal_uv, \
@@ -141,7 +141,7 @@ I_SEED, I_BOUNCE, I_SEGS, I_CUR, I_PTR, I_TRI, I_MAT, I_STRI, I_SMAT, \
 
 def _bvh_instances(scene: RenderScene):
     return [i for i, (_, _, c) in enumerate(scene.inst_spans)
-            if c > BRUTE_MAX_TRIS]
+            if c > brute_max()]
 
 
 def _make_parts(scene: RenderScene, B: int, bounces: int, skybox: bool,
@@ -1167,7 +1167,7 @@ def _make_parts(scene: RenderScene, B: int, bounces: int, skybox: bool,
             seg_uv = jnp.where(better[:, None], s_uv, seg_uv)
 
         for i, (node_off, tri_off, tri_count) in enumerate(scene.inst_spans):
-            if tri_count > BRUTE_MAX_TRIS:
+            if tri_count > brute_max():
                 continue
             w2m_i = scene.inst_world_to_model[i]
             m2w_i = scene.inst_model_to_world[i]

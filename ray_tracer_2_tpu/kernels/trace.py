@@ -99,7 +99,7 @@ def compute_hit(scene: RenderScene, origin, direction, inv_dir):
     # ---- instance groups (ray_tracer.wgsl:369-393): brute-force the small
     # ones (zero gathers), BVH-traverse the big ones ---------------------
     if scene.n_instances > 0:
-        from ray_tracer_2_tpu.kernels.brute import BRUTE_MAX_TRIS, brute_force_intersect
+        from ray_tracer_2_tpu.kernels.brute import brute_force_intersect, brute_max
         from ray_tracer_2_tpu.kernels.traverse import traverse_bvh
 
         m_tri = jnp.full((B,), -1, jnp.int32)
@@ -117,7 +117,7 @@ def compute_hit(scene: RenderScene, origin, direction, inv_dir):
             o_m = _mat4_apply(w2m, origin, 1)
             d_raw = _mat4_apply(w2m, direction, 0)
             d_m = normalize(d_raw)
-            if tri_count <= BRUTE_MAX_TRIS:
+            if tri_count <= brute_max():
                 res = brute_force_intersect(scene, o_m, d_m, tri_off, tri_count)
             else:
                 res = traverse_bvh(scene, o_m, d_m, 1.0 / d_m, node_off,

@@ -86,16 +86,21 @@ def bench_scene(defn, env):
         r = Renderer()
         p = RenderParams(width=W, height=H, bounces=5,
                          rays_per_pixel=1, skybox=True, frames=0)
+        def force(x):
+            # the remote-relay platform's block_until_ready can return
+            # early for some programs; device_get cannot (probe_r2.bench)
+            return jax.device_get(x.ravel()[0])
+
         for f in range(2):
             fb = r.render(host.render_scene,
                           dataclasses.replace(p, frames=f))
-        fb.block_until_ready()
+        force(fb)
         n_frames = 6
         t0 = time.perf_counter()
         for f in range(2, 2 + n_frames):
             fb = r.render(host.render_scene,
                           dataclasses.replace(p, frames=f))
-        fb.block_until_ready()
+        force(fb)
         dt = (time.perf_counter() - t0) / n_frames
         segs = float(jax.device_get(r.last_segments))
         return segs / dt / 1e6
