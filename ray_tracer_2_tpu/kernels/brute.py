@@ -19,8 +19,13 @@ from ray_tracer_2_tpu.kernels.intersect import INF, ray_triangle
 from ray_tracer_2_tpu.scene.render_scene import RenderScene
 
 #: instance groups at or below this triangle count stream (dense cross)
-#: instead of traversing their wide BVH.
-BRUTE_MAX_TRIS = 1024
+#: instead of traversing their wide BVH. Measured on displaced-grid scenes
+#: at 1080p (scripts/probe_pallas_caps.py, round 4): brute 38.6/33.3/27.3
+#: Mrays/s at 128/192/256 tris vs the wide-BVH path's flat ~25.5, then
+#: 18.4 vs 25.5 at 384 and collapsing beyond (9.7 at 512, 5.4 at 1024) —
+#: the old 1024 threshold left 2.6-4.6x on the table for 384-1024-tri
+#: instances. Images are bit-equal across the switch (verified).
+BRUTE_MAX_TRIS = 256
 
 
 def brute_max() -> int:

@@ -75,11 +75,14 @@ def _n_frows(T: int) -> int:
     return F_ROWS if T else F_ROWS_SPHERES
 
 #: small-MESH scenes also fit whole-path: triangles baked to world space
-#: stream on sublanes exactly like spheres. Above this the dense cross
-#: loses to the XLA brute/megakernel path (same shape of tradeoff as the
-#: 128-sphere gate — measured on random_balls). RT2_PALLAS_TRI_CAP
-#: overrides for cap A/Bs (scripts/probe_pallas_caps.py).
-MAX_TRIS = 256
+#: stream on sublanes exactly like spheres. Measured cap (round 4,
+#: scripts/probe_pallas_caps.py displaced-grid scenes at 1080p): the
+#: kernel WINS on cornell-class tiny scenes (cornell 34 tris: 65 vs ~41
+#: Mrays/s; room 12 tris: 90 vs ~53) but LOSES to the XLA brute path at
+#: 128/192 tris (29.2/28.9 vs 38.6/33.3) and only ties at 256 — so the
+#: gate engages where it is measured to win. RT2_PALLAS_TRI_CAP overrides
+#: for cap A/Bs.
+MAX_TRIS = 64
 
 
 def _tri_cap() -> int:
