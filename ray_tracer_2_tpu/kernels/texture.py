@@ -4,16 +4,19 @@ TPUs have no texture samplers — the reference's repeat-addressed bilinear
 ``textureSampleLevel`` (ray_tracer.rs:197-205, ray_tracer.wgsl:455) becomes
 explicit wrap addressing + a 4-tap gather from the texel atlas.
 
-The atlas is stored as u8 RGBA words packed as (y, y+1) PAIRS, 64 texel
-columns per 512-byte row (assets/textures.py pack_texels_u8_pairs): a
-bilinear tap fetches (x, y0) and its wrapped y-neighbor with ONE gather,
-so the 4 gathers of a flat layout become 2 — the tap gathers were
-sponza's dominant boundary cost (4 x ~25 us, docs/PERF_NOTES.md). The
-earlier flat u8 layout already beat the naive (X, 4) f32 one 1129 ->
-624 us per bilinear at B=16k (scripts/probe_texels.py). The per-lane
-column extract is a one-hot multiply + lane reduction done on exact
-16-bit halves (u32 payloads don't fit f32), and the u8 unpack is integer
-shifts — both ride under the gather latency.
+The atlas default is u8 RGBA words packed as bilinear QUADS — texel plus
+its wrapped x/y/xy neighbors in one 512-byte row (32 texels/row,
+assets/textures.py pack_texels_u8_quads) — so a bilinear sample costs ONE
+row gather. The lineage, each step measured on chip (docs/PERF_NOTES.md):
+flat (X, 4) f32 -> flat u8 rows (4 gathers, 1129 -> 624 us/bilinear at
+B=16k) -> (y, y+1) PAIR rows (2 gathers, sponza +8%) -> quads (1 gather,
+texture_test +25%; on sponza's 168 MB atlas the doubled table eats the
+win, -2% — pairs kept under RT2_TEX_LAYOUT=pairs). The per-lane column
+extract is a one-hot multiply + lane reduction done on exact 16-bit
+halves (u32 payloads don't fit f32), and the u8 unpack is integer shifts
+— both ride under the gather latency. Texel rows are fetched with a raw
+take, NEVER the one-hot MXU fast path: the bitcast payloads can view as
+signaling NaNs, which a matmul quietizes (blue-bit-6 corruption).
 """
 from __future__ import annotations
 
