@@ -44,7 +44,7 @@ import jax.numpy as jnp
 
 from ray_tracer_2_tpu import rng, tuning
 from ray_tracer_2_tpu.kernels.brute import brute_force_intersect, brute_max
-from ray_tracer_2_tpu.kernels.gatherlib import fetch_attr, fetch_rows
+from ray_tracer_2_tpu.kernels.gatherlib import fetch_attr
 from ray_tracer_2_tpu.kernels.intersect import INF, ray_sphere, \
     ray_sphere_fast, ray_triangle, sphere_normal_uv, \
     sphere_fast_min as _sphere_fast_min
