@@ -61,3 +61,25 @@ def require_asset(assets, rel_path):
         return assets.resolve(rel_path)
     except AssetNotFound:
         pytest.skip(f"asset {rel_path} not available")
+
+
+_EXIT_STATUS = [0]
+
+
+def pytest_sessionfinish(session, exitstatus):
+    _EXIT_STATUS[0] = int(exitstatus)
+
+
+def pytest_unconfigure(config):
+    """Skip interpreter teardown: with many suites in one process the CPU
+    PJRT client's destructor intermittently aborts at exit ("FATAL:
+    exception not rethrown" from a cancelled C++ thread) AFTER all tests
+    have passed and the summary printed — which would turn a green run
+    into exit 134. Everything that matters (results, summary, exit status)
+    is final by unconfigure time; hard-exit with pytest's own status
+    instead of letting the plugin teardown race."""
+    import sys as _sys
+
+    _sys.stdout.flush()
+    _sys.stderr.flush()
+    os._exit(_EXIT_STATUS[0])
