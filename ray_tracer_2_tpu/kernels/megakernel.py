@@ -1430,7 +1430,8 @@ def render_persistent(scene: RenderScene, frames, *, width: int, height: int,
                       claim_shuffle: bool = True,
                       antialias: bool = False, nee: bool = False,
                       packet: int | None = None,
-                      return_iters: bool = False):
+                      return_iters: bool = False,
+                      return_log_order: bool = False):
     """Persistent-lanes whole-image render. Returns ((rows, width, 4) image,
     total traced segments). Pixel p maps to (x = p %% width,
     y = row_start + p // width); RNG streams and sample continuation are
@@ -1859,6 +1860,12 @@ def render_persistent(scene: RenderScene, frames, *, width: int, height: int,
             (pix, logv[0, :total], logv[1, :total], logv[2, :total],
              logv[3, :total]), num_keys=1)
         out = jnp.stack([r_s, g_s, b_s, a_s], axis=1)
+        if return_log_order:
+            # probe hook (scripts/onchip_r4c.py): the pre-sort pixel-id
+            # sequence, i.e. pixel COMPLETION order — measures how far the
+            # log drifts from claim order, which bounds any banded/windowed
+            # replacement of the end-of-frame reassembly sort
+            return out.reshape(rows, width, 4), segments, pix
     if return_iters:
         return out.reshape(rows, width, 4), segments, n_it
     return out.reshape(rows, width, 4), segments
