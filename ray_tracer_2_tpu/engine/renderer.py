@@ -59,6 +59,58 @@ def render_frame(scene: RenderScene, framebuffer: jax.Array, frames: jax.Array,
     return framebuffer * (1.0 - weight) + sample * weight, segments
 
 
+@partial(jax.jit, donate_argnums=(1,),
+         static_argnames=("n_frames", "width", "height", "bounces",
+                          "rays_per_pixel", "skybox", "debug_mode",
+                          "tile_rows", "tile_cols", "lanes", "unroll",
+                          "shade_every", "cohorts", "normal_maps",
+                          "pallas_spheres", "claim", "boundaries", "log_cap",
+                          "antialias", "nee", "packet"))
+def render_frames_batched(scene: RenderScene, framebuffer: jax.Array,
+                          frames0: jax.Array, debug_scale: jax.Array, *,
+                          n_frames: int, width: int, height: int,
+                          bounces: int, rays_per_pixel: int, skybox: bool,
+                          debug_mode: int, tile_rows: int,
+                          tile_cols: int | None = None,
+                          lanes: int | None = None, unroll: int | None = None,
+                          shade_every: int | None = None,
+                          cohorts: int | None = None,
+                          normal_maps: bool = False,
+                          pallas_spheres: bool = False,
+                          claim: str | None = None,
+                          boundaries: int | None = None,
+                          log_cap: int | None = None,
+                          antialias: bool = False, nee: bool = False,
+                          packet: int | None = None):
+    """``n_frames`` progressive frames in ONE device program: a
+    ``lax.fori_loop`` carries the accumulation buffer, so sustained
+    rendering pays the host→device dispatch cost once per batch instead of
+    once per frame (the remote-relay dispatch gap is ~27 ms on short
+    frames — comparable to a whole cornell frame). Bit-identical to
+    ``n_frames`` sequential ``render_frame`` calls: per-frame RNG seeds
+    derive from the frame index and the accumulation weight is the
+    reference protocol ``1/(frames+1)`` applied per frame
+    (ray_tracer.wgsl:154-161). Returns (framebuffer, total segments)."""
+    def body(i, carry):
+        fb, segs = carry
+        f = frames0 + i
+        sample, s = render_sample(
+            scene, f, debug_scale, width=width, height=height,
+            bounces=bounces, rays_per_pixel=rays_per_pixel, skybox=skybox,
+            debug_mode=debug_mode, tile_rows=tile_rows, tile_cols=tile_cols,
+            lanes=lanes, unroll=unroll, shade_every=shade_every,
+            cohorts=cohorts, normal_maps=normal_maps,
+            pallas_spheres=pallas_spheres, claim=claim,
+            boundaries=boundaries, log_cap=log_cap, antialias=antialias,
+            nee=nee, packet=packet)
+        w = jnp.where(f >= 1, 1.0 / (f.astype(jnp.float32) + 1.0), 1.0)
+        return fb * (1.0 - w) + sample * w, segs + s
+
+    return jax.lax.fori_loop(
+        0, n_frames, body,
+        (framebuffer, jnp.zeros((), jnp.float32)))
+
+
 def render_sample(scene: RenderScene, frames, debug_scale, *, width: int,
                   height: int, bounces: int, rays_per_pixel: int,
                   skybox: bool, debug_mode: int, tile_rows: int,
