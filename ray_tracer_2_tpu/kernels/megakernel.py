@@ -1430,6 +1430,7 @@ def render_persistent(scene: RenderScene, frames, *, width: int, height: int,
                       claim_shuffle: bool = True,
                       antialias: bool = False, nee: bool = False,
                       packet: int | None = None,
+                      fused_boundary: bool | None = None,
                       return_iters: bool = False,
                       return_log_order: bool = False):
     """Persistent-lanes whole-image render. Returns ((rows, width, 4) image,
@@ -1470,6 +1471,10 @@ def render_persistent(scene: RenderScene, frames, *, width: int, height: int,
     # and push the gathers HBM-side (sponza: lanes=24576 beats 16384 by
     # ~3% under the quad atlas; texture_test with its 8 MB atlas LOSES 25%
     # at 24576 — so the key is atlas SIZE, not texturedness; round-4 sweep)
+    assert not (return_log_order and claim == "striped"), \
+        "return_log_order is a queue-claim probe hook (striped has no log)"
+    assert not (return_log_order and return_iters), \
+        "return_log_order and return_iters are mutually exclusive"
     profile = "bigtex" if scene.tex_texels.shape[0] >= 65536 else None
     lanes = tuning.resolve("lanes", lanes, 16384, profile=profile)
     unroll = tuning.resolve("unroll", unroll, 5, profile=profile)
@@ -1609,6 +1614,36 @@ def render_persistent(scene: RenderScene, frames, *, width: int, height: int,
         logp0 = jnp.zeros((1,), jnp.int32)
     lane_ids = jnp.arange(B, dtype=jnp.int32)
     k_cols = jnp.arange(K, dtype=jnp.int32)[None, :, None]
+
+    # ---- fused Mosaic boundary (kernels/pallas_boundary.py): the whole
+    # resolve/claim/camera/prepass/root-entry phase as ONE kernel, leaving
+    # only the attr/material gathers and the log machinery in XLA. Routing:
+    # explicit kwarg > RT2_FUSED_BOUNDARY env > tuned.json knob; always
+    # gated on the static eligibility class (headline scene shape).
+    fused_fn = None
+    if claim == "queue" and shade_every == 0 and cohorts == 1:
+        want = fused_boundary
+        if want is None:
+            import os as _os2
+            env = _os2.environ.get("RT2_FUSED_BOUNDARY")
+            want = (env == "1") if env in ("0", "1") else \
+                bool(tuning.resolve("fused_boundary", None, 0,
+                                    profile=profile))
+        if want:
+            from ray_tracer_2_tpu.kernels import pallas_boundary as _pb
+            if _pb.eligible(scene, n_bvh=n_bvh, sph=parts["sph"],
+                            nee_mode=parts["nee_mode"], packet=packet,
+                            cohorts=cohorts, claim=claim,
+                            shade_every=shade_every,
+                            normal_maps=normal_maps, B=B):
+                fused_fn = _pb.make_fused_boundary(
+                    scene, B, bounces=bounces, rpp=rpp, skybox=skybox,
+                    antialias=antialias, width=width, height=height,
+                    row_start=row_start, frames=frames, total=total,
+                    log_cap=log_cap, claim_mul=claim_mul,
+                    stack_cols=jnp.arange(parts["stack_depth"],
+                                          dtype=jnp.int32)[None, :],
+                    interpret=jax.default_backend() != "tpu")
 
     def boundary(F, M, W, I, S, A, logv, logp, cursor, wcursor):
         at_b = _rep(I[:, I_PTR] >= n_phase) & (I[:, I_BOUNCE] != DONE)
@@ -1810,12 +1845,13 @@ def render_persistent(scene: RenderScene, frames, *, width: int, height: int,
                 # resolve it and claim again. On scenes where most segments
                 # skip traversal (dragon: ~87%) this multiplies pixel
                 # throughput per iteration without adding traversal windows.
+                bfn = fused_fn if fused_fn is not None else boundary
                 for _ in range(boundaries):
                     for c in range(cohorts):
                         F, M, W, I, S, A = cohs[c]
                         F, M, W, I, S, A, logv, logp, cursor, wcursor = \
-                            boundary(F, M, W, I, S, A, logv, logp, cursor,
-                                     wcursor)
+                            bfn(F, M, W, I, S, A, logv, logp, cursor,
+                                wcursor)
                         cohs[c] = (F, M, W, I, S, A)
             else:
                 F, M, W, I, S, A = cohs[0]
@@ -1864,8 +1900,11 @@ def render_persistent(scene: RenderScene, frames, *, width: int, height: int,
             # probe hook (scripts/onchip_r4c.py): the pre-sort pixel-id
             # sequence, i.e. pixel COMPLETION order — measures how far the
             # log drifts from claim order, which bounds any banded/windowed
-            # replacement of the end-of-frame reassembly sort
-            return out.reshape(rows, width, 4), segments, pix
+            # replacement of the end-of-frame reassembly sort. The kernel's
+            # ACTUAL claim multiplier rides along so callers never re-derive
+            # it (claim_shuffle can be forced off, e.g. by packet > 1).
+            return (out.reshape(rows, width, 4), segments, pix,
+                    jnp.int32(claim_mul))
     if return_iters:
         return out.reshape(rows, width, 4), segments, n_it
     return out.reshape(rows, width, 4), segments

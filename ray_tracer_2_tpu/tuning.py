@@ -41,13 +41,19 @@ _SCHEMA = {
     "boundaries": (int, 1, 8),
     "log_cap": (int, 128, 262144),
     "packet": (int, 1, 16),
+    "fused_boundary": (int, 0, 1),   # Mosaic boundary kernel (0 = XLA)
 }
 
 # knob -> extra predicate beyond the (type, lo, hi) rails. Keeps a malformed
 # tuned.json warn-and-ignore (never fatal): values that pass the range check
 # but would trip a trace-time layout assert inside a kernel are rejected
 # here instead (e.g. the deleted trav_lanes knob required 128-multiples).
-_EXTRA_CHECKS: dict = {}
+_EXTRA_CHECKS: dict = {
+    # the MXU claim cumsum, the (R, 128) fused-boundary planes and the lane
+    # VPU tiling all want whole 128-lane groups; every measured config is a
+    # 128-multiple (kernels/megakernel.py, kernels/pallas_boundary.py)
+    "lanes": (lambda v: v % 128 == 0, "must be a multiple of 128"),
+}
 
 
 def _validated(raw: dict) -> dict:

@@ -22,7 +22,6 @@ from __future__ import annotations
 
 import dataclasses
 import json
-import math
 import os
 import sys
 import time
@@ -97,16 +96,16 @@ def log_drift_probe():
 
     host = dragon_scene()
     total = 1920 * 1080
-    claim_mul = max(1, min(1021, (2**32 - 1) // total))
-    while claim_mul > 1 and math.gcd(claim_mul, total) != 1:
-        claim_mul -= 1
 
     f = jax.jit(lambda s, fr: render_persistent(
         s, fr, width=1920, height=1080, bounces=5, rays_per_pixel=1,
         skybox=True, return_log_order=True))
-    out, segs, pix = f(host.render_scene, 0)
+    # claim_mul comes back from the kernel itself (it is 1 when the kernel
+    # disabled the shuffle, e.g. packet > 1) — never re-derive it here
+    out, segs, pix, claim_mul = f(host.render_scene, 0)
+    claim_mul = int(claim_mul)
     pix = np.asarray(pix).astype(np.int64)
-    inv = pow(claim_mul, -1, total)
+    inv = pow(claim_mul, -1, total) if claim_mul > 1 else 1
     c = (pix * inv) % total          # claim index of each log position
     assert np.array_equal(np.sort(c), np.arange(total)), \
         "log ids are not a permutation of claim indices"
@@ -149,8 +148,9 @@ def main():
     for name in ("pallas_lane_gather", "pallas_sublane_gather"):
         try:
             fn = next(p for p in probe_r2.PROBES if p.__name__ == name)
-            fn()
-            emit(item="mosaic_reprobe", probe=name, ok=True)
+            # the guard eats probe exceptions and returns False — ok must
+            # come from that return value, not from "nothing raised"
+            emit(item="mosaic_reprobe", probe=name, ok=bool(fn()))
         except Exception as e:
             emit(item="mosaic_reprobe", probe=name, ok=False,
                  error=str(e)[:400])

@@ -60,11 +60,17 @@ def emit(probe, **kw):
 def guard(name):
     def deco(f):
         def run():
+            # Returns True on success, False on failure — callers that re-run
+            # a probe programmatically (scripts/onchip_r4c.py Mosaic
+            # re-probes) must not infer success from "no exception raised",
+            # because the guard eats the exception by design.
             try:
                 f()
+                return True
             except Exception as e:
                 emit(name, error=f"{type(e).__name__}: {e}"[:300])
                 traceback.print_exc(file=sys.stderr)
+                return False
         run.__name__ = name
         return run
     return deco
