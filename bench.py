@@ -108,6 +108,9 @@ def main():
                          "traversal; default 1 / tuned.json)")
     ap.add_argument("--log-cap", type=int, default=None,
                     help="completion-log append width cap per boundary")
+    ap.add_argument("--fused", type=int, default=None, choices=[0, 1],
+                    help="fused Mosaic boundary kernel "
+                         "(kernels/pallas_boundary.py; None = tuned.json)")
     ap.add_argument("--mesh", type=int, default=0,
                     help="render row-sharded over an N-device mesh "
                          "(N > available devices is clamped; 0 = unsharded)")
@@ -127,6 +130,9 @@ def main():
                          "to accumulate 1024 spp of CornellBox at the given "
                          "resolution (default 1080p); honours --rpp (spp = "
                          "frames x rpp) and --nee")
+    ap.add_argument("--batch", type=int, default=16,
+                    help="with --cornell1024: frames per device dispatch "
+                         "(render_frames_batched; 1 = dispatch per frame)")
     ap.add_argument("--nee", action="store_true",
                     help="with --cornell1024: enable next-event estimation "
                          "(reference-divergent estimator, ~10x less variance "
@@ -165,7 +171,9 @@ def main():
                             packet=args.packet,
                             shade_every=args.shade_every, claim=args.claim,
                             cohorts=args.cohorts, boundaries=args.boundaries,
-                            log_cap=args.log_cap)
+                            log_cap=args.log_cap,
+                            fused_boundary=(None if args.fused is None
+                                            else bool(args.fused)))
         # First remote compile takes minutes when healthy; bound it so a
         # relay that dies mid-compile still yields an error line.
         guard = _hang_guard(2400, "first compile/warmup", metric)
@@ -244,21 +252,31 @@ def cornell1024(args):
                      skybox=True, frames=0, nee=args.nee)
     r = Renderer(lanes=args.lanes, unroll=args.unroll)
 
+    batch = max(min(args.batch, n_frames), 1)
     guard = _hang_guard(2400, "first compile/warmup", metric)
-    fb = r.render(host.render_scene, dc.replace(p, frames=0))
-    fb.block_until_ready()
+    if batch > 1:
+        r.render_batch(host.render_scene, dc.replace(p, frames=0), batch)
+    else:
+        r.render(host.render_scene, dc.replace(p, frames=0))
+    r.framebuffer.block_until_ready()
     guard.set()
-
+    # reset accumulation after warmup (frames=0 overwrites anyway)
     t0 = time.perf_counter()
     rays = 0.0
-    for f in range(n_frames):
-        r.render(host.render_scene, dc.replace(p, frames=f))
+    f = 0
+    while f < n_frames:
+        k = min(batch, n_frames - f)
+        if k > 1:
+            r.render_batch(host.render_scene, dc.replace(p, frames=f), k)
+        else:
+            r.render(host.render_scene, dc.replace(p, frames=f))
         rays += float(r.last_segments)
+        f += k
     r.framebuffer.block_until_ready()
     dt = time.perf_counter() - t0
     print(json.dumps({
         "metric": metric, "value": round(dt, 1), "unit": "s",
-        "vs_baseline": 0.0, "spp": spp, "rpp": rpp,
+        "vs_baseline": 0.0, "spp": spp, "rpp": rpp, "batch": batch,
         "resolution": f"{args.width}x{args.height}",
         "mrays_per_s": round(rays / dt / 1e6, 2)}))
     return 0

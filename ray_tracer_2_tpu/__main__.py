@@ -79,6 +79,10 @@ def main(argv=None) -> int:
     ap.add_argument("--resume", action="store_true",
                     help="resume from --checkpoint if it exists")
     ap.add_argument("--log-every", type=int, default=32)
+    ap.add_argument("--batch", type=int, default=1,
+                    help="frames per device dispatch (Renderer.render_batch;"
+                         " bit-identical to --batch 1, but sustained "
+                         "rendering pays the dispatch gap once per batch)")
     args = ap.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO, format="%(message)s")
@@ -158,24 +162,33 @@ def main(argv=None) -> int:
     t0 = time.perf_counter()
     fb = renderer.framebuffer
     last_frame = start_frame - 1
-    for f in range(start_frame, args.spp):
-        fb = renderer.render(host.render_scene,
-                             dataclasses.replace(params, frames=f))
-        last_frame = f
-        done = f - start_frame + 1
-        if args.log_every and (done % args.log_every == 0 or f == args.spp - 1):
+    batch = max(args.batch, 1)
+    f = start_frame
+    while f < args.spp:
+        k = min(batch, args.spp - f)
+        if k > 1:
+            fb = renderer.render_batch(
+                host.render_scene, dataclasses.replace(params, frames=f), k)
+        else:
+            fb = renderer.render(host.render_scene,
+                                 dataclasses.replace(params, frames=f))
+        f += k
+        last_frame = f - 1
+        done = f - start_frame
+        crossed = (done // args.log_every) > (done - k) // args.log_every
+        if args.log_every and (crossed or f == args.spp):
             fb.block_until_ready()
             dt = time.perf_counter() - t0
             segs = (np.asarray(renderer.last_segments)
                     if renderer.last_segments is not None else None)
-            rate = f"{float(segs) * done / dt / 1e6:.1f} Mrays/s" \
+            rate = f"{float(segs) * (done / k) / dt / 1e6:.1f} Mrays/s" \
                 if segs is not None and segs.size == 1 else ""
             log.info("frame %d/%d  %.1f s  %.2f s/frame  %s",
-                     f + 1, args.spp, dt, dt / done, rate)
+                     f, args.spp, dt, dt / done, rate)
         if (ckpt is not None and args.checkpoint_every
-                and (f + 1 - start_frame) % args.checkpoint_every == 0
-                and f != args.spp - 1):
-            _save_ckpt(f)
+                and done % args.checkpoint_every == 0
+                and f != args.spp):
+            _save_ckpt(last_frame)
 
     if fb is None:
         log.error("nothing rendered and no checkpoint framebuffer")

@@ -32,7 +32,8 @@ DEFAULT_TILE_COLS = 256
                           "skybox", "debug_mode", "tile_rows", "tile_cols",
                           "lanes", "unroll", "shade_every", "cohorts",
                           "normal_maps", "pallas_spheres", "claim",
-                          "boundaries", "log_cap", "antialias", "nee", "packet"))
+                          "boundaries", "log_cap", "antialias", "nee",
+                          "packet", "fused_boundary"))
 def render_frame(scene: RenderScene, framebuffer: jax.Array, frames: jax.Array,
                  debug_scale: jax.Array, *, width: int, height: int,
                  bounces: int, rays_per_pixel: int, skybox: bool,
@@ -43,7 +44,8 @@ def render_frame(scene: RenderScene, framebuffer: jax.Array, frames: jax.Array,
                  pallas_spheres: bool = False, claim: str | None = None,
                  boundaries: int | None = None, log_cap: int | None = None,
                  antialias: bool = False, nee: bool = False,
-                 packet: int | None = None):
+                 packet: int | None = None,
+                 fused_boundary: bool | None = None):
     """Render + accumulate one frame. framebuffer: (height, width, 4) f32.
     Returns (new framebuffer, traced-segment count scalar)."""
     sample, segments = render_sample(
@@ -53,7 +55,8 @@ def render_frame(scene: RenderScene, framebuffer: jax.Array, frames: jax.Array,
         lanes=lanes, unroll=unroll, shade_every=shade_every,
         cohorts=cohorts, normal_maps=normal_maps,
         pallas_spheres=pallas_spheres, claim=claim, boundaries=boundaries,
-        log_cap=log_cap, antialias=antialias, nee=nee, packet=packet)
+        log_cap=log_cap, antialias=antialias, nee=nee, packet=packet,
+        fused_boundary=fused_boundary)
     # Progressive average (ray_tracer.wgsl:154-161): frames <= 0 ⇒ overwrite.
     weight = jnp.where(frames >= 1, 1.0 / (frames.astype(jnp.float32) + 1.0), 1.0)
     return framebuffer * (1.0 - weight) + sample * weight, segments
@@ -65,7 +68,7 @@ def render_frame(scene: RenderScene, framebuffer: jax.Array, frames: jax.Array,
                           "tile_rows", "tile_cols", "lanes", "unroll",
                           "shade_every", "cohorts", "normal_maps",
                           "pallas_spheres", "claim", "boundaries", "log_cap",
-                          "antialias", "nee", "packet"))
+                          "antialias", "nee", "packet", "fused_boundary"))
 def render_frames_batched(scene: RenderScene, framebuffer: jax.Array,
                           frames0: jax.Array, debug_scale: jax.Array, *,
                           n_frames: int, width: int, height: int,
@@ -81,7 +84,8 @@ def render_frames_batched(scene: RenderScene, framebuffer: jax.Array,
                           boundaries: int | None = None,
                           log_cap: int | None = None,
                           antialias: bool = False, nee: bool = False,
-                          packet: int | None = None):
+                          packet: int | None = None,
+                          fused_boundary: bool | None = None):
     """``n_frames`` progressive frames in ONE device program: a
     ``lax.fori_loop`` carries the accumulation buffer, so sustained
     rendering pays the host→device dispatch cost once per batch instead of
@@ -102,7 +106,7 @@ def render_frames_batched(scene: RenderScene, framebuffer: jax.Array,
             cohorts=cohorts, normal_maps=normal_maps,
             pallas_spheres=pallas_spheres, claim=claim,
             boundaries=boundaries, log_cap=log_cap, antialias=antialias,
-            nee=nee, packet=packet)
+            nee=nee, packet=packet, fused_boundary=fused_boundary)
         w = jnp.where(f >= 1, 1.0 / (f.astype(jnp.float32) + 1.0), 1.0)
         return fb * (1.0 - w) + sample * w, segs + s
 
@@ -123,7 +127,8 @@ def render_sample(scene: RenderScene, frames, debug_scale, *, width: int,
                   claim: str | None = None, boundaries: int | None = None,
                   log_cap: int | None = None,
                   antialias: bool = False, nee: bool = False,
-                  packet: int | None = None) -> jax.Array:
+                  packet: int | None = None,
+                  fused_boundary: bool | None = None) -> jax.Array:
     """Radiance for ``rows`` rows starting at ``row_start`` (no accumulation),
     (rows, width, 4). ``row_start`` may be traced (multi-chip row blocks);
     ``width``/``height`` always describe the FULL image (camera uv space).
@@ -172,6 +177,8 @@ def render_sample(scene: RenderScene, frames, debug_scale, *, width: int,
             kw["log_cap"] = log_cap
         if packet is not None:
             kw["packet"] = packet
+        if fused_boundary is not None:
+            kw["fused_boundary"] = fused_boundary
         return megakernel.render_persistent(
             scene, frames, width=width, height=height, bounces=bounces,
             rays_per_pixel=rays_per_pixel, skybox=skybox,
@@ -217,7 +224,7 @@ class Renderer:
                  shade_every: int | None = None, cohorts: int | None = None,
                  claim: str | None = None, boundaries: int | None = None,
                  log_cap: int | None = None, packet: int | None = None,
-                 mesh="auto"):
+                 fused_boundary: bool | None = None, mesh="auto"):
         self.tile_rows = tile_rows
         self.tile_cols = tile_cols
         self.lanes = lanes
@@ -228,6 +235,7 @@ class Renderer:
         self.boundaries = boundaries
         self.log_cap = log_cap
         self.packet = packet
+        self.fused_boundary = fused_boundary
         # ``mesh``: "auto" (default) adopts a 1-D rows mesh over every
         # visible device (SURVEY.md §2.3: the framebuffer tiled across
         # chips IN the real render loop, not a bench side path); a
@@ -301,6 +309,7 @@ class Renderer:
             shade_every=self.shade_every, cohorts=self.cohorts,
             claim=self.claim, boundaries=self.boundaries,
             log_cap=self.log_cap, packet=self.packet,
+            fused_boundary=self.fused_boundary,
             normal_maps=bool(getattr(params, "normal_maps", False)),
             antialias=bool(getattr(params, "antialias", False)),
             nee=bool(getattr(params, "nee", False)),
@@ -329,6 +338,26 @@ class Renderer:
         else:
             self.framebuffer, self.last_segments = render_frame(
                 *args, **kwargs)
+        return self.framebuffer
+
+    def render_batch(self, scene: RenderScene, params: RenderParams,
+                     n_frames: int) -> jax.Array:
+        """Render ``n_frames`` progressive frames (RNG frames
+        ``params.frames .. params.frames + n_frames - 1``) in ONE device
+        dispatch — bit-identical to ``n_frames`` sequential :meth:`render`
+        calls, but paying the host->device dispatch gap once per batch
+        (the remote-relay gap is ~27 ms on short frames). Routes through
+        the rows mesh when one is adopted. ``last_segments`` holds the
+        batch total."""
+        args, kwargs = self.frame_call(scene, params)
+        if self.mesh is not None:
+            from ray_tracer_2_tpu.parallel.sharding import \
+                render_frames_batched_mesh
+            self.framebuffer, self.last_segments = render_frames_batched_mesh(
+                *args, mesh=self.mesh, n_frames=n_frames, **kwargs)
+        else:
+            self.framebuffer, self.last_segments = render_frames_batched(
+                *args, n_frames=n_frames, **kwargs)
         return self.framebuffer
 
     def read_framebuffer(self) -> np.ndarray:

@@ -45,7 +45,7 @@ from ray_tracer_2_tpu.scene.render_scene import RenderScene
 #: through shard_map as ordinary Python closure values.
 _RENDER_KNOBS = ("tile_rows", "tile_cols", "lanes", "unroll", "shade_every",
                  "cohorts", "claim", "boundaries", "log_cap", "packet",
-                 "normal_maps", "antialias", "nee",
+                 "normal_maps", "antialias", "nee", "fused_boundary",
                  "pallas_spheres", "debug_mode")
 
 
@@ -202,7 +202,7 @@ def render_frame_hybrid_sharded(scene: RenderScene, framebuffer: jax.Array,
                           "tile_rows", "tile_cols", "lanes", "unroll",
                           "shade_every", "cohorts", "normal_maps",
                           "pallas_spheres", "claim", "boundaries", "log_cap",
-                          "antialias", "nee", "packet"))
+                          "antialias", "nee", "packet", "fused_boundary"))
 def render_frame_mesh(scene: RenderScene, framebuffer: jax.Array,
                       frames: jax.Array, debug_scale: jax.Array, *,
                       mesh: Mesh, width: int, height: int, bounces: int,
@@ -214,7 +214,8 @@ def render_frame_mesh(scene: RenderScene, framebuffer: jax.Array,
                       pallas_spheres: bool = False, claim: str | None = None,
                       boundaries: int | None = None,
                       log_cap: int | None = None, antialias: bool = False,
-                      nee: bool = False, packet: int | None = None):
+                      nee: bool = False, packet: int | None = None,
+                      fused_boundary: bool | None = None):
     """Drop-in for ``render_frame`` on a rows mesh: same signature plus
     ``mesh``; same return (framebuffer, traced segments). The framebuffer
     must already be row-sharded over the mesh (``shard_framebuffer``)."""
@@ -225,7 +226,75 @@ def render_frame_mesh(scene: RenderScene, framebuffer: jax.Array,
         tile_cols=tile_cols, lanes=lanes, unroll=unroll,
         shade_every=shade_every, cohorts=cohorts, normal_maps=normal_maps,
         pallas_spheres=pallas_spheres, claim=claim, boundaries=boundaries,
-        log_cap=log_cap, antialias=antialias, nee=nee, packet=packet)
+        log_cap=log_cap, antialias=antialias, nee=nee, packet=packet,
+        fused_boundary=fused_boundary)
+
+
+@partial(jax.jit, donate_argnums=(1,),
+         static_argnames=("mesh", "n_frames", "width", "height", "bounces",
+                          "rays_per_pixel", "skybox", "debug_mode",
+                          "tile_rows", "tile_cols", "lanes", "unroll",
+                          "shade_every", "cohorts", "normal_maps",
+                          "pallas_spheres", "claim", "boundaries", "log_cap",
+                          "antialias", "nee", "packet", "fused_boundary"))
+def render_frames_batched_mesh(scene: RenderScene, framebuffer: jax.Array,
+                               frames0: jax.Array, debug_scale: jax.Array, *,
+                               mesh: Mesh, n_frames: int, width: int,
+                               height: int, bounces: int, rays_per_pixel: int,
+                               skybox: bool, debug_mode: int, tile_rows: int,
+                               tile_cols: int | None = None,
+                               lanes: int | None = None,
+                               unroll: int | None = None,
+                               shade_every: int | None = None,
+                               cohorts: int | None = None,
+                               normal_maps: bool = False,
+                               pallas_spheres: bool = False,
+                               claim: str | None = None,
+                               boundaries: int | None = None,
+                               log_cap: int | None = None,
+                               antialias: bool = False, nee: bool = False,
+                               packet: int | None = None,
+                               fused_boundary: bool | None = None):
+    """Multi-chip twin of ``renderer.render_frames_batched``: ``n_frames``
+    progressive frames in ONE device program per chip (``lax.fori_loop``
+    inside the shard), so sustained rendering pays the host->device dispatch
+    cost once per batch instead of once per frame (~27 ms relay gap on short
+    frames). Bit-identical to ``n_frames`` sequential ``render_frame_mesh``
+    calls (same per-frame RNG seeds + 1/(frames+1) protocol,
+    ray_tracer.wgsl:154-161). Returns (framebuffer, total segments)."""
+    n = mesh.shape["rows"]
+    assert height % n == 0, f"height {height} not divisible by mesh size {n}"
+    block = height // n
+    kw = dict(tile_rows=tile_rows, tile_cols=tile_cols, lanes=lanes,
+              unroll=unroll, shade_every=shade_every, cohorts=cohorts,
+              normal_maps=normal_maps, pallas_spheres=pallas_spheres,
+              claim=claim, boundaries=boundaries, log_cap=log_cap,
+              antialias=antialias, nee=nee, packet=packet,
+              fused_boundary=fused_boundary, debug_mode=debug_mode)
+
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(P(), P("rows"), P(), P()),
+             out_specs=(P("rows"), P()), check_vma=False)
+    def step(scene, fb_block, frames0, dscale):
+        row0 = jax.lax.axis_index("rows") * block
+
+        def body(i, carry):
+            fb, segs = carry
+            f = frames0 + i
+            sample, s = render_sample(
+                scene, f, dscale, width=width, height=height,
+                bounces=bounces, rays_per_pixel=rays_per_pixel,
+                skybox=skybox, row_start=row0, rows=block, **kw)
+            w = jnp.where(f >= 1,
+                          1.0 / (f.astype(jnp.float32) + 1.0), 1.0)
+            return fb * (1.0 - w) + sample * w, segs + s
+
+        fb, segs = jax.lax.fori_loop(
+            0, n_frames, body, (fb_block, jnp.zeros((), jnp.float32)))
+        return fb, jax.lax.psum(segs, "rows")
+
+    return step(scene, framebuffer, jnp.int32(frames0),
+                jnp.float32(debug_scale))
 
 
 def replicate_scene(scene: RenderScene, mesh: Mesh) -> RenderScene:
