@@ -64,6 +64,47 @@ class TextureAtlas:
         return TextureAtlas.from_images([])
 
 
+def downsample_images_to_budget(images: list, budget_texels: int) -> list:
+    """Uniformly downscale oversized texture sets to ``budget_texels`` total
+    (area-preserving ratio, PIL BOX filter = exact area average; output
+    stays on the u8/255 grid).
+
+    Why: dependent texel-row gathers degrade ~1.5x past a ~10-20 MB table
+    (round-3 size sweep) and keep degrading — sponza's 168 MB quad atlas is
+    why its quad layout measured a wash (docs/PERF_NOTES.md round-4 texture
+    campaign). A 1-2M texel budget (16-32 MB quad rows) holds the atlas near
+    the cliff knee. The reference samples full-resolution textures in-kernel
+    (ray_tracer.wgsl:455-459), so this is OFF by default and scenes keep the
+    exact path unless RT2_TEX_BUDGET_MB is set (render_scene._tex_budget).
+    Images at-or-under budget pass through untouched."""
+    total = sum(int(im.shape[0]) * int(im.shape[1])
+                for im in images if im is not None)
+    if total <= budget_texels:
+        return images
+    from PIL import Image
+
+    r = (budget_texels / total) ** 0.5
+    out = []
+    for im in images:
+        if im is None or im.shape[0] * im.shape[1] <= 16:
+            out.append(im)
+            continue
+        h, w = im.shape[:2]
+        nh = max(1, int(round(h * r)))
+        nw = max(1, int(round(w * r)))
+        if (nh, nw) == (h, w):
+            out.append(im)
+            continue
+        u8 = (np.clip(im, 0.0, 1.0) * 255.0).round().astype(np.uint8)
+        # per-channel resize: PIL premultiplies alpha for RGBA resizes,
+        # which corrupts RGB by a bit even at constant alpha
+        chans = [np.asarray(Image.fromarray(u8[..., c], "L")
+                            .resize((nw, nh), Image.BOX), dtype=np.float32)
+                 for c in range(4)]
+        out.append(np.stack(chans, axis=-1) / 255.0)
+    return out
+
+
 def _quantize_u8(texels: np.ndarray) -> np.ndarray:
     u8 = (np.clip(texels, 0.0, 1.0) * 255.0).round().astype(np.uint32)
     err = np.abs(np.clip(texels, 0.0, 1.0) * 255.0 - u8)

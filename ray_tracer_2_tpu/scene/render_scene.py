@@ -70,6 +70,22 @@ def _tex_quads() -> bool:
     return os.environ.get("RT2_TEX_LAYOUT", "quads") != "pairs"
 
 
+def _tex_budget_mb() -> int:
+    """Texel-atlas size budget in MB (RT2_TEX_BUDGET_MB, default 0 = OFF =
+    full-resolution textures, matching the reference's in-kernel sampling,
+    ray_tracer.wgsl:455-459). When set, oversized texture sets are
+    downscaled at scene build to fit (assets/textures.py
+    downsample_images_to_budget) — the lever for big-atlas scenes whose
+    dependent texel gathers sit past the ~10-20 MB degradation cliff
+    (sponza: 168 MB; docs/PERF_NOTES.md round-4 texture campaign). Read at
+    scene-instantiation time only."""
+    import os
+    try:
+        return max(int(os.environ.get("RT2_TEX_BUDGET_MB", "0")), 0)
+    except ValueError:
+        return 0
+
+
 def _shade_classes(records) -> tuple:
     """Material-class summary for kernel specialization (STATIC pytree
     field): which shading branches can the scene ever take?"""
@@ -742,7 +758,16 @@ def instantiate_scene(definition: SceneDefinition,
                             tri["uv0"], tri["uv1"], tri["uv2"],
                             tri["v0"], tri["v1"], tri["v2"]))
 
-    atlas = TextureAtlas.from_images(assets.texture_images())
+    tex_images = assets.texture_images()
+    budget_mb = _tex_budget_mb()
+    if budget_mb > 0:
+        from ray_tracer_2_tpu.assets.textures import \
+            downsample_images_to_budget
+        # quad rows store 4 u8 words per texel = 16 B/texel
+        bytes_per_texel = 16 if _tex_quads() else 8
+        tex_images = downsample_images_to_budget(
+            tex_images, budget_mb * (1 << 20) // bytes_per_texel)
+    atlas = TextureAtlas.from_images(tex_images)
     table = MaterialTable.from_records(records)
     mat_rows = _pack_material_rows(records)
     tex_meta = np.stack([atlas.offsets, atlas.heights, atlas.widths,

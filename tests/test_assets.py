@@ -242,3 +242,29 @@ def test_texel_taps_preserve_nan_payload_bits():
     expect = np.tile(texels[:1], (h * w, 1))
     for got in (*_tap_pair(pairs, idx), *_tap_quad(quads, idx)):
         np.testing.assert_allclose(np.asarray(got), expect, atol=0.5 / 255)
+
+
+def test_texel_budget_downsampling(monkeypatch):
+    """RT2_TEX_BUDGET_MB shrinks oversized texture sets at scene build
+    (area-preserving BOX downscale, u8-grid preserved); default-off keeps
+    the exact full-resolution path (ray_tracer.wgsl:455-459 parity)."""
+    import numpy as np
+    from ray_tracer_2_tpu.assets.textures import downsample_images_to_budget
+
+    c0, c1 = 128.0 / 255.0, 64.0 / 255.0   # u8-grid-aligned constants
+    imgs = [np.full((64, 32, 4), c0, np.float32),
+            None,
+            np.full((128, 128, 4), c1, np.float32)]
+    out = downsample_images_to_budget(imgs, (64 * 32 + 128 * 128) // 4)
+    assert out[1] is None
+    total = sum(im.shape[0] * im.shape[1] for im in out if im is not None)
+    assert total <= (64 * 32 + 128 * 128) // 4 * 1.1
+    # constant images stay exactly constant under area averaging
+    assert np.allclose(out[0], c0) and np.allclose(out[2], c1)
+    # on the u8 grid (atlas quantization is lossless afterwards)
+    for im in (out[0], out[2]):
+        q = im * 255.0
+        assert np.abs(q - q.round()).max() < 1e-3
+    # under-budget sets pass through untouched (identity objects)
+    same = downsample_images_to_budget(imgs, 10 ** 9)
+    assert same[0] is imgs[0] and same[2] is imgs[2]
