@@ -39,7 +39,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ray_tracer_2_tpu import rng
+
 from ray_tracer_2_tpu.accel import wide as wd
 from ray_tracer_2_tpu.kernels.gatherlib import ONEHOT_MAX_ROWS, fetch_attr
 from ray_tracer_2_tpu.kernels.intersect import INF, sphere_fast_min
@@ -123,12 +123,53 @@ def _fetch_mat_t(scene: RenderScene, mat_id):
     return jnp.take(tbl, mat_id, axis=0).T
 
 
+# ---- RNG on i32 planes ---------------------------------------------------
+# Mosaic has no uint32->float32 cast (measured lowering failure, round-5
+# on-chip log), so the kernel carries seeds as i32 (the same bits I_SEED
+# stores) and reproduces rng.py op-for-op with wraparound-identical i32
+# arithmetic + logical shifts.  _i32_bits_to_f32 performs EXACTLY ONE
+# round-to-nearest of the integer value (hi*2^24 exact + lo exact, one
+# rounding at the add), which is the same result as the u32->f32 convert.
+
+
+def _srl(x, n):
+    return jax.lax.shift_right_logical(x, n)
+
+
+def _i32_bits_to_f32(bits):
+    hi = _srl(bits, 24).astype(jnp.float32)
+    lo = (bits & 0xFFFFFF).astype(jnp.float32)
+    return hi * 16777216.0 + lo
+
+
+def _next_u32_i(seed):
+    """rng.next_u32 (ray_tracer.wgsl:195-200) on i32 bits."""
+    seed = seed * jnp.int32(747796405) + jnp.int32(-1403630843)  # 2891336453
+    sh = _srl(seed, 28) + 4
+    word = (_srl(seed, sh) ^ seed) * jnp.int32(277803737)
+    return _srl(word, 22) ^ word, seed
+
+
+def _rand_i(seed):
+    bits, seed = _next_u32_i(seed)
+    return _i32_bits_to_f32(bits) / jnp.float32(4294967295.0), seed
+
+
+def _rand_normal_i(seed):
+    """rng.rand_normal (Box-Muller cos branch, clamped log)."""
+    u1, seed = _rand_i(seed)
+    u2, seed = _rand_i(seed)
+    theta = 2.0 * _PI * u1
+    rho = jnp.sqrt(-2.0 * jnp.log(jnp.maximum(u2, jnp.float32(2.33e-10))))
+    return rho * jnp.cos(theta), seed
+
+
 def _rand_direction_c(seed):
     """Componentwise rng.rand_direction (ray_tracer.wgsl:168-174): returns
     ((x, y, z), seed) as planes; same draw order and normalize op order."""
-    x, seed = rng.rand_normal(seed)
-    y, seed = rng.rand_normal(seed)
-    z, seed = rng.rand_normal(seed)
+    x, seed = _rand_normal_i(seed)
+    y, seed = _rand_normal_i(seed)
+    z, seed = _rand_normal_i(seed)
     n = jnp.sqrt((x * x + y * y) + z * z)
     return (x / n, y / n, z / n), seed
 
@@ -143,9 +184,9 @@ def _rand_hemisphere_c(nx, ny, nz, seed):
 
 def _rand_disk_c(seed):
     """Componentwise rng.rand_in_unit_disk (ray_tracer.wgsl:202-206)."""
-    u1, seed = rng.rand(seed)
+    u1, seed = _rand_i(seed)
     angle = u1 * 2.0 * _PI
-    r2, seed = rng.rand(seed)
+    r2, seed = _rand_i(seed)
     s = jnp.sqrt(r2)
     return (jnp.cos(angle) * s, jnp.sin(angle) * s), seed
 
@@ -240,7 +281,7 @@ def make_fused_boundary(scene: RenderScene, B: int, *, bounces: int,
         frames_s = misc[2]
         row_start_s = misc[3]
 
-        seed = jax.lax.bitcast_convert_type(iseed, jnp.uint32)
+        seed = iseed   # RNG runs on i32 bits in-kernel (see _rand_i)
         at_b = (ptr >= n_phase) & (bounce != DONE)
         started = bounce >= 0
 
@@ -289,7 +330,7 @@ def make_fused_boundary(scene: RenderScene, B: int, *, bounces: int,
             in3 = jnp.where(missed, in3 + tr3 * (0.0 + sun_on), in3)
         shading = alive & hit_hit
 
-        r_spec, seed_n = rng.rand(seed)
+        r_spec, seed_n = _rand_i(seed)
         is_specular = mc[14] >= r_spec
         (dnx, dny, dnz), seed_n = _rand_hemisphere_c(nx, ny, nz, seed_n)
         idn = 2.0 * _dot3(dx, dy, dz, nx, ny, nz)
@@ -310,7 +351,7 @@ def make_fused_boundary(scene: RenderScene, B: int, *, bounces: int,
         ntr3 = tr3 * jnp.where(is_specular, mc[11], mc[3])
 
         p_rr = jnp.maximum(jnp.maximum(ntr0, ntr1), ntr2)
-        r_rr, seed_n = rng.rand(seed_n)
+        r_rr, seed_n = _rand_i(seed_n)
         survive = r_rr < p_rr
         pdiv = jnp.where(p_rr > 0.0, p_rr, 1.0)
         ntr0, ntr1, ntr2, ntr3 = (ntr0 / pdiv, ntr1 / pdiv, ntr2 / pdiv,
@@ -365,9 +406,7 @@ def make_fused_boundary(scene: RenderScene, B: int, *, bounces: int,
             in1 = jnp.where(defer, fi(11), in1)
             in2 = jnp.where(defer, fi(12), in2)
             in3 = jnp.where(defer, fi(13), in3)
-            seed = jnp.where(defer,
-                             jax.lax.bitcast_convert_type(iseed, jnp.uint32),
-                             seed)
+            seed = jnp.where(defer, iseed, seed)
             continues = continues & ~defer
 
         bank = sample_end & ~idle
@@ -395,18 +434,19 @@ def make_fused_boundary(scene: RenderScene, B: int, *, bounces: int,
         new_idx = cursor + rank
         got_job = claiming & (new_idx < total)
         if claim_mul > 1:
-            new_pixel = (new_idx.astype(jnp.uint32)
-                         * jnp.uint32(claim_mul)
-                         % jnp.uint32(total)).astype(jnp.int32)
+            # i32 twin of the u32 shuffle: idx*A < 2^31 by construction
+            # (megakernel claim_mul cap), so values are identical
+            new_pixel = (new_idx * jnp.int32(claim_mul)) % jnp.int32(total)
             new_pixel = jnp.where(got_job, new_pixel, new_idx)
         else:
             new_pixel = new_idx
         sout[0] = jnp.minimum(cursor + jnp.sum(ci), total)
 
         pixel = jnp.where(got_job, new_pixel, pix_old)
-        fresh_seed = rng.seed_for_pixel(
-            ((row_start_s + pixel // width) * width
-             + pixel % width).astype(jnp.uint32), frames_s)
+        # rng.seed_for_pixel on i32 bits (wraparound mul == u32 mul)
+        fresh_seed = ((row_start_s + pixel // width) * width
+                      + pixel % width) \
+            + jnp.abs(frames_s) * jnp.int32(719393)
         seed = jnp.where(got_job, fresh_seed, seed)
         sample_o = jnp.where(got_job, 0,
                              jnp.where(more_samples, sample_i + 1, sample_i))
@@ -434,8 +474,8 @@ def make_fused_boundary(scene: RenderScene, B: int, *, bounces: int,
         crx, cry, crz = cam[0], cam[4], cam[8]
         cux, cuy, cuz = cam[1], cam[5], cam[9]
         if antialias:
-            ju, seed = rng.rand(seed)
-            jv, seed = rng.rand(seed)
+            ju, seed = _rand_i(seed)
+            jv, seed = _rand_i(seed)
             du = (ju - 0.5) * vp0 / w1
             dv = (jv - 0.5) * vp1 / h1
             fpx = fpx + crx * du + cux * dv
@@ -643,7 +683,7 @@ def make_fused_boundary(scene: RenderScene, B: int, *, bounces: int,
             fout[26 + i] = jnp.where(starts, m_new[i], m_in[i])
         fout[36], fout[37], fout[38], fout[39] = a0, a1, a2, a3
 
-        iout[0] = jax.lax.bitcast_convert_type(seed, jnp.int32)
+        iout[0] = seed
         b_out = jnp.where(starts, new_bounce, bounce)
         iout[1] = jnp.where(retire, DONE, b_out)
         iout[2] = segs + starts.astype(jnp.int32)
