@@ -136,8 +136,111 @@ def synthesize_sponza(assets) -> list:
     return parts
 
 
+def _soup_part(tris, color, label, smoothness=0.2, specular=0.0,
+               specular_color=(0.0, 0.0, 0.0, 0.0)):
+    from ray_tracer_2_tpu.scene.definition import MeshData
+    from ray_tracer_2_tpu.scene.material import MaterialRecord
+
+    v = np.asarray(tris, np.float32).reshape(-1, 3)
+    # flat shading: per-face normals replicated to vertices
+    f = v.reshape(-1, 3, 3)
+    n = np.cross(f[:, 1] - f[:, 0], f[:, 2] - f[:, 0])
+    n /= np.maximum(np.linalg.norm(n, axis=1, keepdims=True), 1e-12)
+    n = np.repeat(n, 3, axis=0).astype(np.float32)
+    rec = MaterialRecord(color=tuple(color), smoothness=smoothness,
+                         specular=specular,
+                         specular_color=tuple(specular_color))
+    return (MeshData.from_vertices(v, n), rec, label)
+
+
+def _ellipsoid_tris(center, radii, lat=14, lon=22):
+    cx, cy, cz = center
+    rx, ry, rz = radii
+    th = np.linspace(0.0, np.pi, lat + 1)
+    ph = np.linspace(0.0, 2 * np.pi, lon + 1)
+    T, P = np.meshgrid(th, ph, indexing="ij")
+    x = cx + rx * np.sin(T) * np.cos(P)
+    y = cy + ry * np.cos(T)
+    z = cz + rz * np.sin(T) * np.sin(P)
+    pts = np.stack([x, y, z], axis=-1)
+    out = []
+    for i in range(lat):
+        for j in range(lon):
+            a, b = pts[i, j], pts[i + 1, j]
+            c, d = pts[i + 1, j + 1], pts[i, j + 1]
+            out += [[a, b, c], [a, c, d]]
+    return out
+
+
+def _box_tris(center, size):
+    cx, cy, cz = center
+    sx, sy, sz = (s / 2 for s in size)
+    v = np.array([[cx - sx, cy - sy, cz - sz], [cx + sx, cy - sy, cz - sz],
+                  [cx + sx, cy + sy, cz - sz], [cx - sx, cy + sy, cz - sz],
+                  [cx - sx, cy - sy, cz + sz], [cx + sx, cy - sy, cz + sz],
+                  [cx + sx, cy + sy, cz + sz], [cx - sx, cy + sy, cz + sz]],
+                 np.float32)
+    quads = [(0, 1, 2, 3), (5, 4, 7, 6), (4, 0, 3, 7),
+             (1, 5, 6, 2), (3, 2, 6, 7), (4, 5, 1, 0)]
+    out = []
+    for a, b, c, d in quads:
+        out += [[v[a], v[b], v[c]], [v[a], v[c], v[d]]]
+    return out
+
+
+def synthesize_f1(assets) -> list:
+    """Stylized open-wheel car substitute for the absent ``f1/f1.obj``
+    (scene.rs:934-983 bugatti scene; .MISSING_LARGE_BLOBS). Scaled to the
+    real asset's ballpark extents so the scene's 0.05 transform + camera
+    framing produce a sensible render: body ~90 units long on +x, wheels
+    on z, sitting on y=0. ~2.5k flat-shaded triangles across 5 materials
+    (body / wheels / wings / cockpit / floor) — enough structure to
+    exercise the multi-part OBJ path (per-part materials, BVH over a
+    genuine asymmetric mesh) without pretending to be the real car."""
+    body_col = (0.82, 0.06, 0.06, 1.0)
+    wheel_col = (0.05, 0.05, 0.05, 1.0)
+    wing_col = (0.15, 0.15, 0.18, 1.0)
+    cockpit_col = (0.2, 0.2, 0.22, 1.0)
+    parts = []
+    body = []
+    # fuselage: tapered chain of ellipsoids nose -> tail (x axis)
+    for cx, r in ((8.0, (10.0, 4.0, 4.5)), (24.0, (14.0, 5.5, 6.0)),
+                  (46.0, (16.0, 6.5, 7.5)), (68.0, (12.0, 6.0, 7.0))):
+        body += _ellipsoid_tris((cx, 8.0, 0.0), r)
+    parts.append(_soup_part(body, body_col, "f1_body", smoothness=0.85,
+                            specular=0.25,
+                            specular_color=(1.0, 1.0, 1.0, 1.0)))
+    wheels = []
+    for wx in (14.0, 66.0):
+        for wz in (-11.0, 11.0):
+            wheels += _ellipsoid_tris((wx, 6.5, wz), (6.5, 6.5, 3.2),
+                                      lat=10, lon=16)
+    parts.append(_soup_part(wheels, wheel_col, "f1_wheels"))
+    wings = (_box_tris((0.0, 4.0, 0.0), (8.0, 1.2, 30.0))
+             + _box_tris((82.0, 14.0, 0.0), (7.0, 1.2, 26.0))
+             + _box_tris((82.0, 9.0, -12.0), (7.0, 9.0, 1.2))
+             + _box_tris((82.0, 9.0, 12.0), (7.0, 9.0, 1.2)))
+    parts.append(_soup_part(wings, wing_col, "f1_wings", smoothness=0.6))
+    parts.append(_soup_part(_ellipsoid_tris((40.0, 14.0, 0.0),
+                                            (7.0, 4.5, 4.0), lat=10, lon=16),
+                            cockpit_col, "f1_cockpit", smoothness=0.5))
+    parts.append(_soup_part(_box_tris((42.0, 2.0, 0.0), (70.0, 1.5, 22.0)),
+                            (0.1, 0.1, 0.1, 1.0), "f1_floor"))
+    # The real asset's model-space framing is unknowable (blob absent);
+    # place the substitute so the scene's faithful camera (origin, +z,
+    # scene.rs:934-983) sees the car side-on at world z ~ 7 after the 0.05
+    # scene scale: centre the body and push it down +z in model units.
+    offset = np.array([-42.0, -4.0, 70.0], np.float32)
+    out = []
+    for mesh, rec, label in parts:
+        mesh.positions[:] = mesh.positions + offset
+        out.append((mesh, rec, label))
+    return out
+
+
 #: rel_path -> synthesizer(assets) -> list[(MeshData, MaterialRecord, label)]
 SYNTHESIZERS = {
     "Dragon_80K.obj": synthesize_dragon_80k,
     "sponza.obj": synthesize_sponza,
+    "f1/f1.obj": synthesize_f1,
 }

@@ -49,6 +49,10 @@ GOLDENS = {
     # camera (tests/test_goldens.py); the faithful texture_test camera
     # sits ON the sphere and renders near-black.
     "texture_test": (None, dict(width=96, height=54, bounces=3, frames=6)),
+    # f1/bugatti scene (procedural substitute, assets/procedural.py
+    # synthesize_f1 — the real f1/f1.obj is absent from the mount)
+    "bugatti": (scenes.bugatti, dict(width=96, height=54, bounces=3,
+                                     frames=6)),
 }
 
 OUT = Path(__file__).resolve().parents[1] / "tests" / "goldens"

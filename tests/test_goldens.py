@@ -47,7 +47,10 @@ BUILDERS = {"metal": scenes.metal, "balls": scenes.balls,
             "cornell_nee": scenes.cornell_box,
             "metal_aa": scenes.metal,
             # textured path: u8 texel pack + paired-row bilinear taps
-            "texture_test": texture_golden_scene}
+            "texture_test": texture_golden_scene,
+            # f1 substitute (assets/procedural.py synthesize_f1) — closes
+            # the last scene-table hole (scene.rs:934-983)
+            "bugatti": scenes.bugatti}
 
 
 def rmse(a, b):
