@@ -576,10 +576,13 @@ def make_fused_boundary(scene: RenderScene, B: int, *, bounces: int,
             snx = jnp.where(s_in_best, -snx, snx)
             sny = jnp.where(s_in_best, -sny, sny)
             snz = jnp.where(s_in_best, -snz, snz)
-            theta = jnp.arccos(jnp.clip(-sny, -1.0, 1.0))
-            phi = jnp.arctan2(-snz, -snx) + _PI
-            suu = phi / (2.0 * _PI)
-            svv = theta / _PI
+            # Spherical UVs (ray_tracer.wgsl:246-251) are DEAD in the fused
+            # class: uv feeds sample_texture only, and textured scenes are
+            # ineligible. Mosaic also lacks acos/atan2 lowering (measured,
+            # round-5 probe log) — so the kernel stores zeros where the XLA
+            # boundary stores real UVs (image-invariant for this class).
+            suu = jnp.zeros((R, 128))
+            svv = jnp.zeros((R, 128))
             better = won_any & (sdst < seg_dst)
             seg_dst = jnp.where(better, sdst, seg_dst)
             seg_tri2 = jnp.where(better, -2, seg_tri2)

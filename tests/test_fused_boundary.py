@@ -120,3 +120,29 @@ def test_ineligible_falls_back_bit_exact():
     b, sb = _render(rs, True, bounces=2)
     assert sa == sb
     assert np.array_equal(a, b)
+
+
+def test_fused_sharded_matches_single():
+    """Row-sharded fused render == single-device fused render bit-exactly
+    (pixel values derive from pixel ids, not lanes/shards — the same
+    invariant test_multidevice pins for the XLA boundary)."""
+    import jax.numpy as jnp
+    from ray_tracer_2_tpu.parallel.sharding import (
+        make_render_mesh, render_frame_sharded, replicate_scene,
+        shard_framebuffer)
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs the multi-device conftest")
+    rs = _wide_scene()
+    kw = dict(width=96, height=64, bounces=3, rays_per_pixel=1, skybox=True,
+              lanes=256, unroll=2)
+    # frames=0 => overwrite weight 1.0: render_frame_sharded's progressive
+    # blend is identity and the raw samples compare directly
+    single, _ = jax.jit(lambda s, f: render_persistent(
+        s, f, fused_boundary=True, **kw))(rs, 0)
+    mesh = make_render_mesh(8)
+    scene = replicate_scene(rs, mesh)
+    fb = shard_framebuffer(jnp.zeros((64, 96, 4), jnp.float32), mesh)
+    sharded, _ = render_frame_sharded(
+        scene, fb, jnp.int32(0), 1.0, mesh=mesh, fused_boundary=True, **kw)
+    assert np.array_equal(np.asarray(single), np.asarray(sharded))
