@@ -521,17 +521,21 @@ def make_fused_boundary(scene: RenderScene, B: int, *, bounces: int,
         seg_dst = jnp.full((R, 128), _INF)
         seg_tri2 = jnp.full((R, 128), -1, jnp.int32)
         seg_mat2 = jnp.zeros((R, 128), jnp.int32)
-        seg_inside = jnp.zeros((R, 128), jnp.bool_)
+        # all-False masks come from a comparison, NOT jnp.bool_ zeros: the
+        # Mosaic backend rejects the i8->i1 truncation a materialized bool
+        # constant lowers to ("Unsupported target bitwidth for truncation",
+        # round-5 probe log)
+        false_p = jnp.zeros((R, 128)) > 1.0
+        seg_inside = false_p
         best_cx = jnp.zeros((R, 128))
         best_cy = jnp.zeros((R, 128))
         best_cz = jnp.zeros((R, 128))
         if S > 0:
             a_q = _dot3(dx, dy, dz, dx, dy, dz)
-            won_any = jnp.zeros((R, 128), jnp.bool_)
             sdst = jnp.full((R, 128), _INF)
             sidx_best = jnp.zeros((R, 128), jnp.int32)
-            s_in_best = jnp.zeros((R, 128), jnp.bool_)
-            s_hit_best = jnp.zeros((R, 128), jnp.bool_)
+            s_in_best = false_p
+            s_hit_best = false_p
             for s_i in range(S):
                 cxs = sc(_SC_SPH + _SPH_STRIDE * s_i)
                 cys = sc(_SC_SPH + _SPH_STRIDE * s_i + 1)

@@ -10,6 +10,7 @@ Usage: python scripts/probe_fused_compile.py   (TPU; one process at a time)
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 import traceback
@@ -31,7 +32,9 @@ def main():
     kw = dict(width=128, height=64, bounces=4, rays_per_pixel=1,
               skybox=True, lanes=1024, unroll=2)
     out = {}
-    for fused in (False, True):
+    variants = ((True,),) if os.environ.get("RT2_PROBE_FUSED_ONLY") == "1" \
+        else ((False,), (True,))
+    for (fused,) in variants:
         try:
             img, segs = jax.jit(lambda s, f, _fu=fused: render_persistent(
                 s, f, fused_boundary=_fu, **kw))(rs, 1)
@@ -40,7 +43,7 @@ def main():
                 segs=float(segs), finite=bool(np.isfinite(img).all()),
                 mean=round(float(img[..., :3].mean()), 5),
                 t=round(time.perf_counter() - t0, 1))
-            if fused:
+            if fused and "fused0" in out:
                 out["frac_match"] = round(float(
                     (np.abs(img - prev).max(axis=-1) < 1e-5).mean()), 4)
             prev = img
