@@ -175,7 +175,8 @@ def main(argv=None) -> int:
         f += k
         last_frame = f - 1
         done = f - start_frame
-        crossed = (done // args.log_every) > (done - k) // args.log_every
+        crossed = args.log_every and (
+            (done // args.log_every) > (done - k) // args.log_every)
         if args.log_every and (crossed or f == args.spp):
             fb.block_until_ready()
             dt = time.perf_counter() - t0

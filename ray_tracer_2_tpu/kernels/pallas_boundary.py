@@ -556,8 +556,12 @@ def make_fused_boundary(scene: RenderScene, B: int, *, bounces: int,
                 newb = ds < sdst
                 sdst = jnp.where(newb, ds, sdst)
                 sidx_best = jnp.where(newb, s_i, sidx_best)
-                s_in_best = jnp.where(newb, is_in, s_in_best)
-                s_hit_best = jnp.where(newb, s_hit, s_hit_best)
+                # logical ops, NOT jnp.where: a select_n on BOOL operands
+                # lowers through an i8 materialization whose trunci back to
+                # i1 Mosaic rejects ("Unsupported target bitwidth for
+                # truncation", round-5 probe log)
+                s_in_best = (newb & is_in) | (~newb & s_in_best)
+                s_hit_best = (newb & s_hit) | (~newb & s_hit_best)
             for s_i in range(S):
                 selw = sidx_best == s_i
                 best_cx = jnp.where(selw, sc(_SC_SPH + _SPH_STRIDE * s_i),
