@@ -134,7 +134,7 @@ def headline(args):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--items", default="fused_sweep,room2")
+    ap.add_argument("--items", default="fused_sweep,room2,cross")
     ap.add_argument("--fused", type=int, default=1)
     ap.add_argument("--rpp", type=int, default=16)
     ap.add_argument("--frames", type=int, default=3)
@@ -152,6 +152,17 @@ def main():
         room2_iters(args)
     if "headline" in items:
         headline(args)
+    if "cross" in items:
+        # re-run the (rewritten, chaos-class-aware) converged gate in-process
+        try:
+            sys.path.insert(0, str(Path(__file__).resolve().parent))
+            import cross_check_onchip
+            cross_check_onchip.main()
+            emit(item="cross_check", rc=0)
+        except SystemExit as e:
+            emit(item="cross_check", rc=int(e.code or 0))
+        except Exception:
+            emit(item="cross_check", error=traceback.format_exc()[-500:])
     emit(stage="done")
 
 
