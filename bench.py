@@ -155,8 +155,9 @@ def main():
     args = ap.parse_args()
 
     if args.rpp is None:
-        args.rpp = 16 if (args.scene == "dragon" and not args.smoke
-                          or args.cornell1024) else 1
+        # measured-best honest configs (PERF_NOTES round-5 rpp ladders)
+        args.rpp = (32 if args.scene == "dragon" and not args.smoke
+                    else 16 if args.cornell1024 else 1)
     if args.tex_budget_mb is None:
         args.tex_budget_mb = 32 if args.scene == "sponza" else 0
     if args.tex_budget_mb and "RT2_TEX_BUDGET_MB" not in os.environ:
@@ -238,8 +239,27 @@ def main():
                                "RT2_TEX_BUDGET_MB=0 / --tex-budget-mb 0 "
                                "restores exact full-res sampling")
     from ray_tracer_2_tpu import tuning
-    tuned = {k: v for k, v in tuning.tuned_defaults().items()
+    # profile-aware disclosure: mirror megakernel.render_persistent's
+    # scene-class profile pick so the reported knobs are the ones the
+    # kernel actually resolved (tpu:fused carries fused_boundary=1)
+    prof = None
+    rs = host.render_scene
+    if rs.tex_texels.shape[0] >= 65536:
+        prof = "bigtex"
+    else:
+        from ray_tracer_2_tpu.kernels.pallas_boundary import (
+            scene_profile_eligible)
+        if scene_profile_eligible(rs):
+            prof = "fused"
+    resolved = dict(tuning.tuned_defaults())
+    if prof is not None:
+        resolved.update(
+            tuning.tuned_defaults(f"{jax.default_backend()}:{prof}"))
+        out["tuning_profile"] = prof
+    tuned = {k: v for k, v in resolved.items()
              if getattr(args, k, None) is None}   # explicit flags override
+    if args.fused is not None:                    # argparse dest != knob key
+        tuned.pop("fused_boundary", None)
     if tuned:
         out["tuned"] = tuned   # measured-on-chip defaults in effect
 

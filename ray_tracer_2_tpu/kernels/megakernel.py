@@ -1475,7 +1475,12 @@ def render_persistent(scene: RenderScene, frames, *, width: int, height: int,
         "return_log_order is a queue-claim probe hook (striped has no log)"
     assert not (return_log_order and return_iters), \
         "return_log_order and return_iters are mutually exclusive"
-    profile = "bigtex" if scene.tex_texels.shape[0] >= 65536 else None
+    if scene.tex_texels.shape[0] >= 65536:
+        profile = "bigtex"
+    else:
+        from ray_tracer_2_tpu.kernels.pallas_boundary import (
+            scene_profile_eligible)
+        profile = "fused" if scene_profile_eligible(scene) else None
     lanes = tuning.resolve("lanes", lanes, 16384, profile=profile)
     unroll = tuning.resolve("unroll", unroll, 5, profile=profile)
     packet = tuning.resolve("packet", packet, 1, profile=profile)

@@ -89,6 +89,21 @@ def eligible(scene: RenderScene, *, n_bvh: int, sph: bool, nee_mode: int,
             and scene.n_spheres < sphere_fast_min())
 
 
+def scene_profile_eligible(scene: RenderScene) -> bool:
+    """Scene-only precheck of :func:`eligible` (no knob / BVH-structure
+    terms): the megakernel uses it to pick the ``"fused"`` tuning profile
+    BEFORE knobs resolve (tuned.json ``tpu:fused`` carries the measured
+    fused-class optimum — round-5 sweep: unroll=4 beats 5 once the boundary
+    is fused). May be true for scenes the full gate later rejects (e.g. a
+    brute-path mesh with no wide BVH) — that only mis-profiles scheduling
+    knobs, never routing or image content."""
+    return (scene.n_instances == 1
+            and "glass" not in scene.shade_classes
+            and "texture" not in scene.shade_classes
+            and scene.n_spheres <= 32
+            and scene.n_spheres < sphere_fast_min())
+
+
 def _f16_bits_to_f32_np(bits):
     """numpy twin of megakernel.f16_bits_to_f32 for jnp arrays outside jit."""
     sign = (bits & 0x8000) << 16

@@ -56,6 +56,29 @@ def main():
         except Exception:
             emit(item="scene", scene=name, rpp=rpp,
                  error=traceback.format_exc()[-800:])
+    os.environ.pop("RT2_TEX_BUDGET_MB", None)
+
+    # dragon at the FINAL bench default (fused profile unroll=3, rpp=32):
+    # the exact driver-protocol number for BENCH_r05
+    try:
+        import bench
+        sys.argv = ["bench.py"]
+        bench.main()
+        emit(item="bench_default", rc=0)
+    except SystemExit as e:
+        emit(item="bench_default", rc=int(e.code or 0))
+    except Exception:
+        emit(item="bench_default", error=traceback.format_exc()[-800:])
+
+    # flip-aware converged cross-impl gate (4096 spp, frame-batched)
+    try:
+        import cross_check_onchip
+        cross_check_onchip.main()
+        emit(item="cross_check", rc=0)
+    except SystemExit as e:
+        emit(item="cross_check", rc=int(e.code or 0))
+    except Exception:
+        emit(item="cross_check", error=traceback.format_exc()[-500:])
     emit(stage="done")
 
 
