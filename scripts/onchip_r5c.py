@@ -59,7 +59,17 @@ def bench_scene(scene_name, rpp=1, frames=6, warmup=2, scene=None,
         segc.append(r.last_segments)
     r.framebuffer.block_until_ready()
     dt = time.perf_counter() - t0
-    mrays = sum(float(s) for s in segc) / dt / 1e6
+    # device_get is the only TRUE sync on the relay platform —
+    # block_until_ready can return early (documented artifact: a 6550
+    # Mrays/s sponza row in campaign E). Per-scalar fetches cost a ~27 ms
+    # round-trip each, so they stay OUTSIDE the primary timing window;
+    # when the primary reading is impossibly fast, fall back to a window
+    # that includes the forced fetches (biased high by the RTTs, which is
+    # the conservative direction for a throughput claim).
+    total_segs = sum(float(s) for s in segc)
+    if dt / frames < 0.02:
+        dt = time.perf_counter() - t0
+    mrays = total_segs / dt / 1e6
     return round(mrays, 2), round(dt / frames * 1e3, 1)
 
 
