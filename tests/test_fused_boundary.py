@@ -146,3 +146,24 @@ def test_fused_sharded_matches_single():
     sharded, _ = render_frame_sharded(
         scene, fb, jnp.int32(0), 1.0, mesh=mesh, fused_boundary=True, **kw)
     assert np.array_equal(np.asarray(single), np.asarray(sharded))
+
+
+def test_scene_profile_eligible_routing(wide_rs):
+    """The tuned.json "tpu:fused" profile is picked by a scene-only
+    precheck (kernels/pallas_boundary.scene_profile_eligible) so the
+    fused-class knob optima (round-5: unroll=3) never leak onto
+    XLA-boundary scenes. Pin the classification for the bench scenes."""
+    from ray_tracer_2_tpu.kernels.pallas_boundary import (
+        scene_profile_eligible)
+    from ray_tracer_2_tpu.scene import scenes as sc
+
+    assert scene_profile_eligible(wide_rs)          # dragon class
+    ineligible = {
+        "room2": sc.room_2,          # two instances
+        "texture_test": sc.texture_test,   # textured
+        "balls": sc.balls,           # glass
+        "random_balls": sc.random_balls,   # > 32 spheres
+    }
+    for name, builder in ineligible.items():
+        rs = instantiate_scene(builder()).render_scene
+        assert not scene_profile_eligible(rs), name
