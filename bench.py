@@ -155,9 +155,10 @@ def main():
     args = ap.parse_args()
 
     if args.rpp is None:
-        # measured-best honest configs (PERF_NOTES round-5 rpp ladders)
-        args.rpp = (32 if args.scene == "dragon" and not args.smoke
-                    else 16 if args.cornell1024 else 1)
+        # measured-best honest configs (PERF_NOTES round-5 rpp ladders;
+        # cornell1024 measured 48.7 s plain / 32.9 s NEE at rpp=32)
+        args.rpp = (32 if args.cornell1024
+                    or (args.scene == "dragon" and not args.smoke) else 1)
     if args.tex_budget_mb is None:
         args.tex_budget_mb = 32 if args.scene == "sponza" else 0
     if args.tex_budget_mb and "RT2_TEX_BUDGET_MB" not in os.environ:
